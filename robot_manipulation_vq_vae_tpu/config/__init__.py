@@ -1,0 +1,8 @@
+from robot_manipulation_vq_vae_tpu.config.config import Config
+from robot_manipulation_vq_vae_tpu.config.base_config import (
+    BaseConfig,
+    config_factory,
+    get_all_registered_configs,
+    REGISTERED_CONFIGS,
+)
+from robot_manipulation_vq_vae_tpu.config.icl_config import ICLConfig, ICLHVQVAEConfig
