@@ -1,15 +1,16 @@
-"""Test configuration: run everything on a virtual 8-device CPU mesh.
+"""Test configuration (see repo-root conftest.py for the backend switch).
 
-Multi-chip TPU hardware is not available in CI; sharding correctness is
-validated against 8 virtual CPU devices instead (the driver separately
-dry-run-compiles the multi-chip path via ``__graft_entry__.dryrun_multichip``).
+This duplicate exists so running pytest from inside ``tests/`` directly also
+lands on the local CPU backend with 8 virtual devices.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+if os.environ.get("RMVQ_TESTS_ON_TPU") != "1":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        pass  # already initialized by root conftest
