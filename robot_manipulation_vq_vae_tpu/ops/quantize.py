@@ -167,21 +167,41 @@ def replace_dead_codes(
 # jitted fixed-iteration k-means (codebook init)
 # --------------------------------------------------------------------------
 
+def _kmeanspp_init(rng, data, num_clusters):
+    """k-means++ seeding, jitted: sequential D^2-weighted sampling via
+    categorical-on-log-distance (fixed K iterations in a fori_loop)."""
+    n = data.shape[0]
+    first = jax.random.randint(jax.random.fold_in(rng, 0), (), 0, n)
+    c0 = jnp.take(data, first, axis=0)
+    centers = jnp.zeros((num_clusters, data.shape[1]), data.dtype).at[0].set(c0)
+    mind = jnp.sum((data - c0[None, :]) ** 2, axis=-1)  # [N]
+
+    def body(i, carry):
+        centers, mind = carry
+        logits = jnp.log(jnp.maximum(mind, 1e-12))
+        idx = jax.random.categorical(jax.random.fold_in(rng, i), logits)
+        c = jnp.take(data, idx, axis=0)
+        centers = centers.at[i].set(c)
+        d = jnp.sum((data - c[None, :]) ** 2, axis=-1)
+        return centers, jnp.minimum(mind, d)
+
+    centers, _ = jax.lax.fori_loop(1, num_clusters, body, (centers, mind))
+    return centers
+
+
 @functools.partial(jax.jit, static_argnames=("num_clusters", "num_iters"))
 def kmeans(rng, data, num_clusters, num_iters=25):
-    """Lloyd's algorithm with random-point init, fully jitted.
+    """k-means++ seeded Lloyd's algorithm, fully jitted.
 
     Replaces the reference's host-side ``sklearn.KMeans`` first-batch init
     (``heirarchical_vqvae.py:321-419``) with an in-graph fixed-iteration
     k-means so codebook initialization never leaves the device.
-    (Documented divergence: sklearn uses kmeans++ with n_init=10; cluster
+    (Documented divergence: sklearn runs n_init=10 restarts; cluster
     *identities* differ but both produce a batch-coverage init.)
 
     Returns (centers [K, D], assignments [N]).
     """
-    n = data.shape[0]
-    perm = jax.random.permutation(rng, n)
-    centers = jnp.take(data, perm[:num_clusters], axis=0)
+    centers = _kmeanspp_init(rng, data, num_clusters)
 
     def body(_, centers):
         d = l2_distance_sq(data, centers)                      # [N, K]
