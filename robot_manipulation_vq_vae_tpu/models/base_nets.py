@@ -1,0 +1,316 @@
+"""Base network blocks (Flax): MLP, ResNet18 (+FiLM variants), SpatialSoftmax,
+pooling, CoordConv, RNN base.
+
+Re-designs of the reference ``robomimic/models/base_nets.py`` blocks with one
+deliberate divergence: **images are channels-last ([..., H, W, C])** - the
+TPU-native layout - everywhere inside this framework. The reference (and its
+checkpoints) are channels-first; the checkpoint converter transposes.
+``output_shape`` bookkeeping therefore uses (H, W, C) tuples here.
+"""
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robot_manipulation_vq_vae_tpu.utils.initializers import (
+    torch_linear_kernel_init,
+)
+
+
+def transformer_args_from_config(transformer_config):
+    """Map ``algo.transformer.*`` config keys to network kwargs, including the
+    four tokenizer-modality flags (reference ``base_nets.py:41-70``)."""
+    args = dict(
+        transformer_context_length=transformer_config.context_length,
+        transformer_embed_dim=transformer_config.embed_dim,
+        transformer_num_heads=transformer_config.num_heads,
+        transformer_emb_dropout=transformer_config.emb_dropout,
+        transformer_attn_dropout=transformer_config.attn_dropout,
+        transformer_block_output_dropout=transformer_config.block_output_dropout,
+        transformer_sinusoidal_embedding=transformer_config.sinusoidal_embedding,
+        transformer_activation=transformer_config.activation,
+        transformer_nn_parameter_for_timesteps=transformer_config.nn_parameter_for_timesteps,
+        transformer_num_layers=transformer_config.num_layers,
+        transformer_fast_enabled=transformer_config.fast_enabled,
+        transformer_bin_enabled=transformer_config.bin_enabled,
+        transformer_vq_vae_enabled=transformer_config.vq_vae_enabled,
+        transformer_ln_act_enabled=transformer_config.ln_act_enabled,
+    )
+    if "causal" in transformer_config:
+        args["transformer_causal"] = transformer_config.causal
+    return args
+
+
+class MLP(nn.Module):
+    """Plain MLP (reference ``MLP`` base_nets.py:240): hidden layer_dims with
+    @activation, final Dense to output_dim with optional @output_activation."""
+
+    output_dim: int
+    layer_dims: Sequence[int] = ()
+    activation: Callable = nn.relu
+    output_activation: Optional[Callable] = None
+    dropouts: Optional[Sequence[float]] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        for i, dim in enumerate(self.layer_dims):
+            x = nn.Dense(
+                dim, kernel_init=torch_linear_kernel_init, name=f"fc{i}"
+            )(x)
+            x = self.activation(x)
+            if self.dropouts is not None and self.dropouts[i] > 0:
+                x = nn.Dropout(self.dropouts[i])(x, deterministic=deterministic)
+        x = nn.Dense(
+            self.output_dim, kernel_init=torch_linear_kernel_init, name="out"
+        )(x)
+        if self.output_activation is not None:
+            x = self.output_activation(x)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# ResNet-18 (channels-last) + FiLM variants
+# ---------------------------------------------------------------------------
+
+class BasicBlock(nn.Module):
+    """torchvision BasicBlock: 3x3-BN-ReLU-3x3-BN + skip, final ReLU."""
+
+    features: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        identity = x
+        h = nn.Conv(
+            self.features, (3, 3), strides=(self.stride, self.stride),
+            padding=((1, 1), (1, 1)), use_bias=False, name="conv1",
+        )(x)
+        h = nn.BatchNorm(use_running_average=not train, name="bn1")(h)
+        h = nn.relu(h)
+        h = nn.Conv(
+            self.features, (3, 3), padding=((1, 1), (1, 1)),
+            use_bias=False, name="conv2",
+        )(h)
+        h = nn.BatchNorm(use_running_average=not train, name="bn2")(h)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            identity = nn.Conv(
+                self.features, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, name="down_conv",
+            )(x)
+            identity = nn.BatchNorm(use_running_average=not train, name="down_bn")(
+                identity
+            )
+        return nn.relu(h + identity)
+
+
+class _ResNet18Stem(nn.Module):
+    """conv7x7/2 + BN + ReLU + maxpool3x3/2 (torchvision stem)."""
+
+    coord_conv: bool = False
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        if self.coord_conv:
+            x = add_coord_channels(x)
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+            use_bias=False, name="conv1",
+        )(x)
+        x = nn.BatchNorm(use_running_average=not train, name="bn1")(x)
+        x = nn.relu(x)
+        return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+
+_RESNET18_PLAN = [(64, 1), (64, 1), (128, 2), (128, 1), (256, 2), (256, 1),
+                  (512, 2), (512, 1)]
+
+
+class ResNet18Conv(nn.Module):
+    """ResNet-18 trunk (fc removed), reference ``ResNet18Conv``
+    (base_nets.py:550-610). Input [..., H, W, C]; output [H/32, W/32, 512]."""
+
+    input_coord_conv: bool = False
+    pretrained: bool = False  # accepted for config compat; no torchvision here
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = _ResNet18Stem(coord_conv=self.input_coord_conv, name="stem")(x, train=train)
+        for i, (feat, stride) in enumerate(_RESNET18_PLAN):
+            x = BasicBlock(features=feat, stride=stride, name=f"block{i}")(
+                x, train=train
+            )
+        return x
+
+    @staticmethod
+    def output_shape(input_shape):
+        h, w, _ = input_shape
+        return [int(math.ceil(h / 32.0)), int(math.ceil(w / 32.0)), 512]
+
+
+class FiLMLayer(nn.Module):
+    """Feature-wise linear modulation conditioned on a language embedding
+    (reference ``FiLMLayer`` base_nets.py:612-650): x -> relu((1+gamma)x+beta)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x, lang_emb):
+        proj = nn.Dense(
+            self.channels * 2, kernel_init=torch_linear_kernel_init,
+            name="lang_proj",
+        )(lang_emb)  # [B, 2C]
+        beta, gamma = jnp.split(proj, 2, axis=-1)
+        beta = beta[:, None, None, :]
+        gamma = gamma[:, None, None, :]
+        return nn.relu((1.0 + gamma) * x + beta)
+
+
+class ResNet18ConvFiLM(nn.Module):
+    """ResNet-18 trunk with a FiLM layer after every BasicBlock
+    (reference ``ResNet18ConvFiLM`` base_nets.py:652-746)."""
+
+    lang_emb_dim: int = 768
+    input_coord_conv: bool = False
+    pretrained: bool = False
+
+    @nn.compact
+    def __call__(self, x, lang_emb, train=False):
+        x = _ResNet18Stem(coord_conv=self.input_coord_conv, name="stem")(x, train=train)
+        for i, (feat, stride) in enumerate(_RESNET18_PLAN):
+            x = BasicBlock(features=feat, stride=stride, name=f"block{i}")(
+                x, train=train
+            )
+            x = FiLMLayer(channels=feat, name=f"film{i}")(x, lang_emb)
+        return x
+
+    @staticmethod
+    def output_shape(input_shape):
+        h, w, _ = input_shape
+        return [int(math.ceil(h / 32.0)), int(math.ceil(w / 32.0)), 512]
+
+
+def add_coord_channels(x):
+    """CoordConv: append normalized x/y coordinate channels
+    (reference ``CoordConv2d`` base_nets.py:1287)."""
+    *lead, h, w, c = x.shape
+    ys = jnp.linspace(-1.0, 1.0, h)[:, None]
+    xs = jnp.linspace(-1.0, 1.0, w)[None, :]
+    yy = jnp.broadcast_to(ys, (h, w))[..., None]
+    xx = jnp.broadcast_to(xs, (h, w))[..., None]
+    coords = jnp.concatenate([yy, xx], axis=-1)
+    coords = jnp.broadcast_to(coords, tuple(lead) + (h, w, 2))
+    return jnp.concatenate([x, coords.astype(x.dtype)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Pooling
+# ---------------------------------------------------------------------------
+
+class SpatialSoftmax(nn.Module):
+    """Spatial-softmax keypoint pooling (reference ``SpatialSoftmax``
+    base_nets.py:1510-1640). Input [B, H, W, C] -> keypoints [B, K, 2]."""
+
+    input_shape: Tuple[int, int, int]  # (H, W, C)
+    num_kp: Optional[int] = 32
+    temperature: float = 1.0
+    learnable_temperature: bool = False
+    output_variance: bool = False
+    noise_std: float = 0.0
+
+    @nn.compact
+    def __call__(self, feature, train=False):
+        h, w, c = self.input_shape
+        num_kp = self.num_kp if self.num_kp is not None else c
+        if self.num_kp is not None:
+            feature = nn.Conv(self.num_kp, (1, 1), name="kp_conv")(feature)
+
+        if self.learnable_temperature:
+            temperature = self.param(
+                "temperature", nn.initializers.constant(self.temperature), (1,)
+            )
+        else:
+            temperature = self.temperature
+
+        b = feature.shape[0]
+        # [B, H, W, K] -> [B, K, H*W] (h-major flattening matches the
+        # reference's [B, K, H, W] reshape)
+        att_in = feature.transpose(0, 3, 1, 2).reshape(b * num_kp, h * w)
+        attention = jax.nn.softmax(att_in / temperature, axis=-1)
+
+        pos_x, pos_y = np.meshgrid(
+            np.linspace(-1.0, 1.0, w), np.linspace(-1.0, 1.0, h)
+        )
+        pos_x = jnp.asarray(pos_x.reshape(1, h * w), jnp.float32)
+        pos_y = jnp.asarray(pos_y.reshape(1, h * w), jnp.float32)
+
+        expected_x = jnp.sum(pos_x * attention, axis=1, keepdims=True)
+        expected_y = jnp.sum(pos_y * attention, axis=1, keepdims=True)
+        keypoints = jnp.concatenate([expected_x, expected_y], axis=1)
+        keypoints = keypoints.reshape(b, num_kp, 2)
+
+        if train and self.noise_std > 0:
+            noise = self.noise_std * jax.random.normal(
+                self.make_rng("dropout"), keypoints.shape
+            )
+            keypoints = keypoints + noise
+
+        if self.output_variance:
+            exx = jnp.sum(pos_x * pos_x * attention, axis=1, keepdims=True)
+            eyy = jnp.sum(pos_y * pos_y * attention, axis=1, keepdims=True)
+            exy = jnp.sum(pos_x * pos_y * attention, axis=1, keepdims=True)
+            var_x = exx - expected_x**2
+            var_y = eyy - expected_y**2
+            var_xy = exy - expected_x * expected_y
+            cov = jnp.concatenate([var_x, var_xy, var_xy, var_y], axis=1)
+            cov = cov.reshape(b, num_kp, 2, 2)
+            return keypoints, cov
+        return keypoints
+
+    @staticmethod
+    def static_output_shape(input_shape, num_kp=32):
+        c = input_shape[-1]
+        return [num_kp if num_kp is not None else c, 2]
+
+
+class SpatialMeanPool(nn.Module):
+    """Mean over spatial dims: [B, H, W, C] -> [B, C]."""
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        return jnp.mean(x, axis=(-3, -2))
+
+    @staticmethod
+    def static_output_shape(input_shape):
+        return [input_shape[-1]]
+
+
+# ---------------------------------------------------------------------------
+# Recurrent base (for RNN policy variants)
+# ---------------------------------------------------------------------------
+
+class RNNBase(nn.Module):
+    """Multi-layer LSTM/GRU over [B, T, D] sequences (reference ``RNN_Base``
+    base_nets.py:348). Implemented with nn.RNN (lax.scan under jit)."""
+
+    hidden_dim: int
+    num_layers: int = 2
+    rnn_type: str = "LSTM"  # LSTM or GRU
+
+    @nn.compact
+    def __call__(self, x, initial_state=None):
+        cell_cls = nn.OptimizedLSTMCell if self.rnn_type == "LSTM" else nn.GRUCell
+        carries = []
+        for i in range(self.num_layers):
+            cell = cell_cls(features=self.hidden_dim, name=f"{self.rnn_type.lower()}{i}")
+            rnn = nn.RNN(cell, return_carry=True, name=f"rnn{i}")
+            init_i = None if initial_state is None else initial_state[i]
+            if init_i is not None:
+                carry, x = rnn(x, initial_carry=init_i)
+            else:
+                carry, x = rnn(x)
+            carries.append(carry)
+        return x, carries

@@ -1,0 +1,115 @@
+"""Probability distribution helpers (GMM over actions, tanh wrapping).
+
+Replaces the torch.distributions usage in the reference
+(``MixtureSameFamily(Categorical, Independent(Normal))`` in
+``policy_nets.py:2545-2575`` and ``TanhWrappedDistribution`` in
+``robomimic/models/distributions.py:11``) with explicit jnp math - no
+distribution-library dependency, everything jit/grad friendly.
+"""
+
+import math
+from typing import Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+@flax.struct.dataclass
+class GMMActionDistribution:
+    """Mixture of diagonal Gaussians over actions.
+
+    means:  [..., M, A]
+    scales: [..., M, A]
+    logits: [..., M]
+    batch shape is [...] (e.g. [B, T]); event shape is [A].
+    """
+
+    means: jnp.ndarray
+    scales: jnp.ndarray
+    logits: jnp.ndarray
+
+    def log_prob(self, actions):
+        """actions [..., A] -> log prob [...]. Matches
+        MixtureSameFamily(Categorical(logits), Independent(Normal, 1))."""
+        x = actions[..., None, :]  # [..., 1, A]
+        var = self.scales**2
+        comp_lp = -0.5 * (
+            ((x - self.means) ** 2) / var + 2.0 * jnp.log(self.scales) + _LOG_2PI
+        )
+        comp_lp = jnp.sum(comp_lp, axis=-1)  # [..., M]
+        mix_lp = jax.nn.log_softmax(self.logits, axis=-1)
+        return jax.scipy.special.logsumexp(comp_lp + mix_lp, axis=-1)
+
+    def sample(self, rng):
+        rng_mode, rng_eps = jax.random.split(rng)
+        mode = jax.random.categorical(rng_mode, self.logits, axis=-1)  # [...]
+        mean = jnp.take_along_axis(
+            self.means, mode[..., None, None], axis=-2
+        ).squeeze(-2)
+        scale = jnp.take_along_axis(
+            self.scales, mode[..., None, None], axis=-2
+        ).squeeze(-2)
+        eps = jax.random.normal(rng_eps, mean.shape)
+        return mean + scale * eps
+
+    def mode_mean(self):
+        """Mean of the highest-weight mode (greedy action)."""
+        mode = jnp.argmax(self.logits, axis=-1)
+        return jnp.take_along_axis(
+            self.means, mode[..., None, None], axis=-2
+        ).squeeze(-2)
+
+    def index_time(self, t):
+        """dists[:, t] (the reference rebuilds the distribution for the final
+        timestep, icl.py:1483-1497)."""
+        return GMMActionDistribution(
+            means=self.means[:, t], scales=self.scales[:, t],
+            logits=self.logits[:, t],
+        )
+
+
+@flax.struct.dataclass
+class TanhWrappedGMM:
+    """Tanh-squashed GMM (reference ``TanhWrappedDistribution``
+    distributions.py:11-85): y = tanh(x) * scale with log-det correction."""
+
+    base: GMMActionDistribution
+    scale: float = 1.0
+    tanh_epsilon: float = 1e-6
+
+    def log_prob(self, value):
+        value = value / self.scale
+        one_plus = jnp.clip(1.0 + value, self.tanh_epsilon, None)
+        one_minus = jnp.clip(1.0 - value, self.tanh_epsilon, None)
+        pre_tanh = 0.5 * (jnp.log(one_plus) - jnp.log(one_minus))
+        # log|d tanh(x)/dx| = log(1 - tanh(x)^2)
+        correction = jnp.sum(
+            jnp.log(jnp.clip(1.0 - value**2, self.tanh_epsilon, None)), axis=-1
+        )
+        return self.base.log_prob(pre_tanh) - correction - (
+            value.shape[-1] * jnp.log(jnp.asarray(self.scale))
+        )
+
+    def sample(self, rng):
+        return jnp.tanh(self.base.sample(rng)) * self.scale
+
+
+@flax.struct.dataclass
+class DiagGaussian:
+    """Independent Normal over actions (Gaussian policy heads)."""
+
+    mean: jnp.ndarray
+    scale: jnp.ndarray
+
+    def log_prob(self, actions):
+        var = self.scale**2
+        lp = -0.5 * (
+            ((actions - self.mean) ** 2) / var + 2.0 * jnp.log(self.scale) + _LOG_2PI
+        )
+        return jnp.sum(lp, axis=-1)
+
+    def sample(self, rng):
+        return self.mean + self.scale * jax.random.normal(rng, self.mean.shape)
