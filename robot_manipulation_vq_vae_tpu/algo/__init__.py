@@ -1,0 +1,27 @@
+from robot_manipulation_vq_vae_tpu.algo.algo import (
+    Algo,
+    AlgoState,
+    PolicyAlgo,
+    ValueAlgo,
+    PlannerAlgo,
+    HierarchicalAlgo,
+    RolloutPolicy,
+    ICLRolloutPolicy,
+    register_algo_factory_func,
+    algo_factory,
+    algo_name_to_factory_func,
+    REGISTERED_ALGOS,
+)
+
+# importing algorithm modules registers their factory functions
+from robot_manipulation_vq_vae_tpu.algo import icl  # noqa: F401
+from robot_manipulation_vq_vae_tpu.algo.icl import (  # noqa: F401
+    ICL,
+    ICLGaussian,
+    ICLGMM,
+    ICLRNN,
+    ICLRNN_GMM,
+    ICLTransformer,
+    ICLTransformerHVQVAE,
+    ICLTransformer_GMM,
+)

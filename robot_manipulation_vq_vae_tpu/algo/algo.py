@@ -1,0 +1,393 @@
+"""Algorithm base classes, registry, and rollout-policy wrappers.
+
+Functional re-design of ``robomimic/algo/algo.py``: an ``Algo`` owns Flax
+module *definitions* plus a single immutable :class:`AlgoState` pytree
+(params, auxiliary variable collections, optimizer states, step, rng). The
+hot path is one jitted ``_train_step(state, batch) -> (state, metrics)``
+function per algorithm - no Python-side mutation inside the step, so the
+same function pjit-shards across a device mesh unchanged
+(see ``parallel/``).
+
+Public surface mirrors the reference: ``register_algo_factory_func`` /
+``algo_factory`` (reference algo.py:34-91), ``Algo`` lifecycle
+(``_create_shapes -> _create_networks -> _create_optimizers``, :102-134),
+``process_batch_for_training`` / ``postprocess_batch_for_training``
+(:242-269), ``train_on_batch``, ``serialize``/``deserialize`` (:335-363),
+and the ``RolloutPolicy`` / ``ICLRolloutPolicy`` wrappers (:666-924).
+"""
+
+from collections import OrderedDict
+from copy import deepcopy
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robot_manipulation_vq_vae_tpu.utils import action_utils as AcUtils
+from robot_manipulation_vq_vae_tpu.utils import obs_utils as ObsUtils
+from robot_manipulation_vq_vae_tpu.utils import optim_utils as OptimUtils
+from robot_manipulation_vq_vae_tpu.utils import rotation_utils as RotUtils
+from robot_manipulation_vq_vae_tpu.utils import tensor_utils as TensorUtils
+
+# global registry: algo_name -> factory func (algo_config -> (cls, kwargs))
+REGISTERED_ALGOS = {}
+
+LANG_EMB_KEY = ObsUtils.LANG_EMB_KEY
+
+
+def register_algo_factory_func(algo_name):
+    def decorator(factory_func):
+        REGISTERED_ALGOS[algo_name] = factory_func
+        return factory_func
+
+    return decorator
+
+
+def algo_name_to_factory_func(algo_name):
+    return REGISTERED_ALGOS[algo_name]
+
+
+def algo_factory(algo_name, config, obs_key_shapes, ac_dim, device=None):
+    """Instantiate the algo class for @algo_name (reference algo.py:59-91)."""
+    assert algo_name in REGISTERED_ALGOS, (
+        f"algo '{algo_name}' not registered; have {sorted(REGISTERED_ALGOS)}"
+    )
+    factory_func = REGISTERED_ALGOS[algo_name]
+    algo_cls, _ = factory_func(config.algo)
+    return algo_cls(
+        algo_config=config.algo,
+        obs_config=config.observation,
+        global_config=config,
+        obs_key_shapes=obs_key_shapes,
+        ac_dim=ac_dim,
+        device=device,
+    )
+
+
+@flax.struct.dataclass
+class AlgoState:
+    """The complete mutable state of an algorithm as one pytree."""
+
+    params: Any          # {net_name: param tree}
+    aux: Any             # {net_name: {collection: tree}} (vq, batch_stats, ...)
+    opt_states: Any      # {net_name: optax state}
+    step: Any            # scalar int
+    rng: Any             # PRNGKey
+
+
+class Algo:
+    """Base algorithm (reference ``Algo`` algo.py:94-660)."""
+
+    def __init__(self, algo_config, obs_config, global_config, obs_key_shapes,
+                 ac_dim, device=None):
+        self.optim_params = deepcopy(algo_config.optim_params)
+        self.algo_config = algo_config
+        self.obs_config = obs_config
+        self.global_config = global_config
+        self.ac_dim = ac_dim
+        self.device = device  # kept for API compat; jax manages placement
+        self.obs_key_shapes = obs_key_shapes
+
+        self.nets = {}          # name -> flax module definition
+        self.optimizers = {}    # name -> optax transform
+        self.state = None       # AlgoState (lazy init on first batch)
+        self._pending_load = None
+        self._train_step_jit = None
+        self._training = True
+
+        self._create_shapes(obs_config.modalities, obs_key_shapes)
+        self._create_networks()
+        self._create_optimizers()
+
+        seed = 0
+        try:
+            seed = int(global_config.train.seed)
+        except Exception:
+            pass
+        self._init_rng = jax.random.PRNGKey(seed)
+
+    # ------------------------------------------------------------ shapes
+    def _create_shapes(self, obs_keys, obs_key_shapes):
+        """Split obs_key_shapes into obs/goal/subgoal dicts by the modality
+        config (reference algo.py:136-178)."""
+        self.obs_shapes = OrderedDict()
+        self.goal_shapes = OrderedDict()
+        self.subgoal_shapes = OrderedDict()
+        for k in obs_key_shapes:
+            for group, target in (
+                ("obs", self.obs_shapes),
+                ("goal", self.goal_shapes),
+                ("subgoal", self.subgoal_shapes),
+            ):
+                if group in self.obs_config.modalities and k in [
+                    obs_key
+                    for modality in self.obs_config.modalities[group].values()
+                    for obs_key in modality
+                ]:
+                    target[k] = obs_key_shapes[k]
+        if self.algo_config.get("language_conditioned", False):
+            self.obs_shapes[LANG_EMB_KEY] = [768]  # CLIP text embedding dim
+
+    # ------------------------------------------------------------ networks
+    def _create_networks(self):
+        raise NotImplementedError
+
+    def _create_optimizers(self):
+        """Build optax transforms from optim_params (reference :184-225)."""
+        num_training_steps = None
+        try:
+            num_training_steps = (
+                self.global_config.train.num_epochs
+                * self.global_config.experiment.epoch_every_n_steps
+            )
+        except Exception:
+            pass
+        max_grad_norm = self.global_config.train.get("max_grad_norm", None)
+        for k in self.optim_params:
+            if k in self.nets:
+                self.optimizers[k] = OptimUtils.optimizer_from_optim_params(
+                    self.optim_params[k],
+                    max_grad_norm=max_grad_norm,
+                    num_training_steps=num_training_steps,
+                )
+
+    # ------------------------------------------------------------ state
+    def _init_variables(self, rng, batch):
+        """Subclasses: run module .init for every net; return
+        {net_name: variables}."""
+        raise NotImplementedError
+
+    @staticmethod
+    def _split_variables(variables):
+        params = variables.get("params", {})
+        aux = {k: v for k, v in variables.items() if k != "params"}
+        return params, aux
+
+    def ensure_state(self, batch):
+        if self.state is not None:
+            return
+        rng, init_rng = jax.random.split(self._init_rng)
+        all_vars = self._init_variables(init_rng, batch)
+        params, aux, opt_states = {}, {}, {}
+        for name, variables in all_vars.items():
+            p, a = self._split_variables(variables)
+            params[name] = p
+            aux[name] = a
+            if name in self.optimizers:
+                opt_states[name] = self.optimizers[name].init(p)
+        self.state = AlgoState(
+            params=params, aux=aux, opt_states=opt_states,
+            step=jnp.zeros((), jnp.int32), rng=rng,
+        )
+        if self._pending_load is not None:
+            self.deserialize(self._pending_load)
+            self._pending_load = None
+
+    # ------------------------------------------------------------ batch prep
+    def process_batch_for_training(self, batch):
+        return batch
+
+    def postprocess_batch_for_training(self, batch, obs_normalization_stats=None):
+        """uint8->float/255 image processing happens device-side inside the
+        jitted step (see ``device_process_obs``); host-side we only apply
+        obs normalization stats when given (reference :242-269)."""
+        if obs_normalization_stats is not None:
+            for group in ("obs", "goal_obs", "next_obs"):
+                if batch.get(group) is not None:
+                    batch[group] = ObsUtils.normalize_dict(
+                        batch[group], obs_normalization_stats
+                    )
+        return batch
+
+    # ------------------------------------------------------------ training
+    def train_on_batch(self, batch, epoch, validate=False):
+        raise NotImplementedError
+
+    def log_info(self, info):
+        """Flatten metrics for loggers (reference :565-585)."""
+        log = OrderedDict()
+        if "losses" in info:
+            for k, v in info["losses"].items():
+                log[k] = float(v)
+        return log
+
+    def on_epoch_end(self, epoch):
+        pass
+
+    # mode toggles are no-ops in the functional design (train/eval behavior
+    # is an explicit argument to the jitted functions), kept for API compat
+    def set_eval(self):
+        self._training = False
+
+    def set_train(self):
+        self._training = True
+
+    def reset(self):
+        pass
+
+    # ------------------------------------------------------------ serialize
+    def serialize(self):
+        """State -> nested numpy dict (reference :335-340)."""
+        assert self.state is not None, "state not initialized yet"
+        return {
+            "params": TensorUtils.to_numpy(self.state.params),
+            "aux": TensorUtils.to_numpy(self.state.aux),
+        }
+
+    def deserialize(self, model_dict):
+        """Load weights (+ aux collections). If the state is not yet
+        initialized, defer until first batch (reference :341-363)."""
+        if self.state is None:
+            self._pending_load = model_dict
+            return
+        params = jax.tree_util.tree_map(jnp.asarray, model_dict["params"])
+        aux = jax.tree_util.tree_map(jnp.asarray, model_dict.get("aux", self.state.aux))
+        self.state = self.state.replace(params=params, aux=aux)
+
+    def __repr__(self):
+        return "{} (\n  nets: {}\n)".format(
+            self.__class__.__name__, list(self.nets.keys())
+        )
+
+
+class PolicyAlgo(Algo):
+    """Base for policy algorithms (reference algo.py:382)."""
+
+    def get_action(self, obs_dict, goal_dict=None):
+        raise NotImplementedError
+
+
+class ValueAlgo(Algo):
+    def get_state_value(self, obs_dict, goal_dict=None):
+        raise NotImplementedError
+
+    def get_state_action_value(self, obs_dict, actions, goal_dict=None):
+        raise NotImplementedError
+
+
+class PlannerAlgo(Algo):
+    def get_subgoal_predictions(self, obs_dict, goal_dict=None):
+        raise NotImplementedError
+
+    def sample_subgoals(self, obs_dict, goal_dict=None, num_samples=1):
+        raise NotImplementedError
+
+
+class HierarchicalAlgo(Algo):
+    def get_action(self, obs_dict, goal_dict=None):
+        raise NotImplementedError
+
+    def get_subgoal_predictions(self, obs_dict, goal_dict=None):
+        raise NotImplementedError
+
+    @property
+    def current_subgoal(self):
+        raise NotImplementedError
+
+
+def device_process_obs(obs_dict, obs_shapes=None):
+    """Device-side obs processing for the jitted steps: uint8 images ->
+    float32/255 (TPU-friendly: ship uint8 over PCIe/ICI, convert on device).
+    Non-image float arrays pass through."""
+    out = {}
+    for k, v in obs_dict.items():
+        if v.dtype == jnp.uint8:
+            out[k] = v.astype(jnp.float32) / 255.0
+        else:
+            out[k] = v.astype(jnp.float32)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# rollout wrappers
+# ---------------------------------------------------------------------------
+
+class RolloutPolicy:
+    """Wraps an Algo for env stepping (reference algo.py:666-791):
+    normalize obs -> batch -> get_action -> unnormalize actions ->
+    runtime rot_6d conversion."""
+
+    def __init__(self, policy, obs_normalization_stats=None,
+                 action_normalization_stats=None, lang_encoder=None):
+        self.policy = policy
+        self.obs_normalization_stats = obs_normalization_stats
+        self.action_normalization_stats = action_normalization_stats
+        self._ep_lang_emb = None
+        self.lang_encoder = lang_encoder
+
+    def start_episode(self, lang=None):
+        if self.lang_encoder is not None and lang is not None:
+            self._ep_lang_emb = np.asarray(self.lang_encoder.get_lang_emb(lang))
+        self.policy.set_eval()
+        self.policy.reset()
+
+    def _prepare_observation(self, ob):
+        ob = dict(ob)
+        if self.obs_normalization_stats is not None:
+            ob = ObsUtils.normalize_dict(ob, self.obs_normalization_stats)
+        if self._ep_lang_emb is not None:
+            ref_key = next(iter(ob))
+            if ob[ref_key].ndim == 1:
+                ob[LANG_EMB_KEY] = self._ep_lang_emb
+            else:
+                ob[LANG_EMB_KEY] = np.repeat(
+                    self._ep_lang_emb[None], len(ob[ref_key]), axis=0
+                )
+        ob = {k: np.asarray(v)[None] for k, v in ob.items()}  # add batch dim
+        return ob
+
+    def _unnormalize_action(self, ac):
+        if self.action_normalization_stats is None:
+            return ac
+        action_keys = self.policy.global_config.train.action_keys
+        action_shapes = {
+            k: np.asarray(self.action_normalization_stats[k]["offset"]).shape[1:]
+            for k in self.action_normalization_stats
+        }
+        ac_dict = AcUtils.vector_to_action_dict(
+            ac, action_shapes=action_shapes, action_keys=action_keys
+        )
+        ac_dict = ObsUtils.unnormalize_dict(
+            ac_dict, self.action_normalization_stats
+        )
+        action_config = self.policy.global_config.train.action_config
+        for key, value in ac_dict.items():
+            this_format = action_config.get(key, {}).get("format", None)
+            if this_format == "rot_6d":
+                conv = action_config[key].get("convert_at_runtime", "rot_axis_angle")
+                if conv == "rot_axis_angle":
+                    ac_dict[key] = RotUtils.rot_6d_to_axis_angle(value).astype(
+                        value.dtype
+                    )
+                elif conv == "rot_euler":
+                    ac_dict[key] = RotUtils.rot_6d_to_euler_angles(
+                        value, "XYZ"
+                    ).astype(value.dtype)
+                else:
+                    raise ValueError(conv)
+        return AcUtils.action_dict_to_vector(ac_dict, action_keys=action_keys)
+
+    def __call__(self, ob, goal=None):
+        ob = self._prepare_observation(ob)
+        if goal is not None:
+            goal = self._prepare_observation(goal)
+        ac = np.asarray(self.policy.get_action(obs_dict=ob, goal_dict=goal))[0]
+        return self._unnormalize_action(ac)
+
+
+class ICLRolloutPolicy(RolloutPolicy):
+    """Adds the in-context batch to every action query
+    (reference algo.py:795-924)."""
+
+    def __call__(self, ob, context_batch, goal=None):
+        ob = self._prepare_observation(ob)
+        if goal is not None:
+            goal = self._prepare_observation(goal)
+        ac = np.asarray(
+            self.policy.get_action(
+                obs_dict=ob, context_batch=context_batch, goal_dict=goal
+            )
+        )[0]
+        return self._unnormalize_action(ac)
