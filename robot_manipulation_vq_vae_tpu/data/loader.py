@@ -1,0 +1,135 @@
+"""Host-side batch loader with threaded prefetch.
+
+Replaces torch's multiprocess DataLoader (48 workers in the reference
+``train_config.json``): samples are fetched with a thread pool (h5py/numpy
+release the GIL on I/O and copies), collated into stacked numpy batches, and
+a small prefetch queue keeps batches ready while the TPU steps. Use
+``robot_manipulation_vq_vae_tpu.data.prefetch.device_prefetch`` to overlap
+host->device transfer as well.
+"""
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+def collate(samples):
+    """Stack a list of nested dict samples into one batch dict."""
+    first = samples[0]
+    if isinstance(first, dict):
+        return {k: collate([s[k] for s in samples]) for k in first}
+    if first is None:
+        return None
+    return np.stack([np.asarray(s) for s in samples])
+
+
+class DataLoader:
+    """Iterable over stacked batches.
+
+    Args:
+        dataset: indexable dataset (SequenceDataset / MetaDataset)
+        batch_size (int)
+        shuffle (bool): random permutation each epoch
+        sampler_weights (np.ndarray or None): per-index probabilities for
+            weighted sampling with replacement (MetaDataset mixing)
+        num_workers (int): fetch threads (0 = synchronous)
+        drop_last (bool)
+        seed (int)
+        prefetch (int): number of batches to keep ready ahead of the consumer
+    """
+
+    def __init__(self, dataset, batch_size, shuffle=True, sampler_weights=None,
+                 num_workers=8, drop_last=True, seed=0, prefetch=2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.sampler_weights = sampler_weights
+        self.num_workers = num_workers
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._rng = np.random.RandomState(seed)
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _epoch_indices(self):
+        n = len(self.dataset)
+        if self.sampler_weights is not None:
+            return self._rng.choice(
+                n, size=n, replace=True, p=self.sampler_weights
+            )
+        if self.shuffle:
+            return self._rng.permutation(n)
+        return np.arange(n)
+
+    def _fetch_batch(self, pool, idx_chunk):
+        if pool is not None:
+            samples = list(pool.map(self.dataset.__getitem__, idx_chunk))
+        else:
+            samples = [self.dataset[i] for i in idx_chunk]
+        return collate(samples)
+
+    def __iter__(self):
+        self._epoch += 1
+        indices = self._epoch_indices()
+        n_batches = len(self)
+        chunks = [
+            indices[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(n_batches)
+        ]
+        pool = (
+            ThreadPoolExecutor(max_workers=self.num_workers)
+            if self.num_workers > 0
+            else None
+        )
+
+        if pool is None or self.prefetch <= 0:
+            for chunk in chunks:
+                yield self._fetch_batch(pool, chunk)
+            return
+
+        q = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for chunk in chunks:
+                    if stop.is_set():
+                        return
+                    q.put(self._fetch_batch(pool, chunk))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+            pool.shutdown(wait=False)
+
+
+class InfiniteLoader:
+    """Wraps a DataLoader to yield forever (run_epoch's next(iterator)
+    pattern, reference train_utils.py:1283-1307)."""
+
+    def __init__(self, loader):
+        self.loader = loader
+        self._it = iter(loader)
+
+    def __next__(self):
+        try:
+            return next(self._it)
+        except StopIteration:
+            self._it = iter(self.loader)
+            return next(self._it)

@@ -1,0 +1,217 @@
+"""Data-layer tests: HDF5 windowing/padding semantics, action normalization
+math, MetaDataset mixing, loader collation."""
+
+import json
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from robot_manipulation_vq_vae_tpu.data import (
+    DataLoader,
+    MetaDataset,
+    SequenceDataset,
+    action_stats_to_normalization_stats,
+)
+from robot_manipulation_vq_vae_tpu.utils import obs_utils as ObsUtils
+
+A = 3
+
+
+@pytest.fixture(scope="module", autouse=True)
+def modalities():
+    ObsUtils.initialize_obs_utils_with_obs_specs(
+        {"obs": {"low_dim": ["eef_pos"], "rgb": ["cam_image"]}}
+    )
+
+
+def write_demo_file(path, demo_lengths, with_images=True, seed=0):
+    rng = np.random.RandomState(seed)
+    with h5py.File(path, "w") as f:
+        data = f.create_group("data")
+        total = 0
+        for i, T in enumerate(demo_lengths):
+            ep = data.create_group(f"demo_{i}")
+            ep.attrs["num_samples"] = T
+            ep.attrs["ep_meta"] = json.dumps({"lang": f"task {i}"})
+            obs = ep.create_group("obs")
+            # deterministic content so window fetches are checkable:
+            # eef_pos[t] = [demo, t, 0]
+            obs.create_dataset(
+                "eef_pos",
+                data=np.stack(
+                    [np.full(T, i), np.arange(T), np.zeros(T)], axis=1
+                ).astype(np.float32),
+            )
+            if with_images:
+                obs.create_dataset(
+                    "cam_image",
+                    data=rng.randint(0, 255, size=(T, 8, 8, 3), dtype=np.uint8),
+                )
+            ep.create_dataset(
+                "actions",
+                data=np.arange(T * A).reshape(T, A).astype(np.float32) + 100 * i,
+            )
+            total += T
+        mask = f.create_group("mask")
+        mask.create_dataset(
+            "first_only", data=np.array([b"demo_0"])
+        )
+        data.attrs["total"] = total
+    return path
+
+
+@pytest.fixture(scope="module")
+def demo_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("data") / "demos.hdf5"
+    return write_demo_file(str(p), demo_lengths=[5, 3])
+
+
+def make_ds(demo_file, **kwargs):
+    defaults = dict(
+        hdf5_path=demo_file,
+        obs_keys=["eef_pos", "cam_image"],
+        action_keys=["actions"],
+        dataset_keys=["actions"],
+        action_config={"actions": {"normalization": None}},
+        frame_stack=3,
+        seq_length=2,
+        pad_frame_stack=True,
+        pad_seq_length=True,
+        hdf5_cache_mode=None,
+        load_next_obs=False,
+    )
+    defaults.update(kwargs)
+    return SequenceDataset(**defaults)
+
+
+def test_index_maps_and_len(demo_file):
+    ds = make_ds(demo_file)
+    assert len(ds) == 8  # 5 + 3 with both paddings
+    # without padding, a demo shorter than the window must assert
+    # (reference dataset.py:256: num_sequences >= 1)
+    with pytest.raises(AssertionError):
+        make_ds(demo_file, pad_frame_stack=False, pad_seq_length=False)
+
+
+def test_window_contents_and_padding(demo_file):
+    ds = make_ds(demo_file)
+    item = ds[0]  # demo_0, t=0: frame stack pads left twice
+    eef = item["obs"]["eef_pos"]  # [fs-1+seq, 3] = [4, 3]
+    assert eef.shape == (4, 3)
+    # padded: [t0, t0, t0, t1]
+    np.testing.assert_array_equal(eef[:, 1], [0, 0, 0, 1])
+    # actions window starts at t0 (frame-stacked part included)
+    assert item["actions"].shape == (4, A)
+
+    item_last = ds[4]  # demo_0, t=4 (last): seq padding right
+    eef = item_last["obs"]["eef_pos"]
+    np.testing.assert_array_equal(eef[:, 1], [2, 3, 4, 4])
+
+    # demo boundary: index 5 is demo_1 t=0
+    item_b = ds[5]
+    np.testing.assert_array_equal(item_b["obs"]["eef_pos"][:, 0], [1, 1, 1, 1])
+    np.testing.assert_array_equal(item_b["obs"]["eef_pos"][:, 1], [0, 0, 0, 1])
+
+    # uint8 images stay uint8 (device-side processing)
+    assert item["obs"]["cam_image"].dtype == np.uint8
+    assert item["obs"]["cam_image"].shape == (4, 8, 8, 3)
+
+
+def test_pad_mask(demo_file):
+    ds = make_ds(demo_file, get_pad_mask=True)
+    item = ds[0]
+    np.testing.assert_array_equal(
+        item["obs"]["pad_mask"][:, 0], [False, False, True, True]
+    )
+
+
+def test_filter_key(demo_file):
+    ds = make_ds(demo_file, filter_by_attribute="first_only")
+    assert ds.n_demos == 1
+    assert len(ds) == 5
+
+
+def test_min_max_normalization_math(demo_file):
+    ds = make_ds(
+        demo_file, action_config={"actions": {"normalization": "min_max"}}
+    )
+    stats = ds.get_action_normalization_stats()
+    scale = stats["actions"]["scale"][0]
+    offset = stats["actions"]["offset"][0]
+    # raw actions: demo0 has 0..14, demo1 has 100..108 per dim pattern
+    all_acts = np.concatenate(
+        [
+            np.arange(5 * A).reshape(5, A),
+            np.arange(3 * A).reshape(3, A) + 100,
+        ]
+    ).astype(np.float32)
+    lo, hi = all_acts.min(0), all_acts.max(0)
+    expect_scale = (hi - lo) / (0.999999 * 2)
+    np.testing.assert_allclose(scale, expect_scale, rtol=1e-5)
+    # normalized min should be ~-0.999999
+    item = ds[0]
+    norm0 = (all_acts[0] - offset) / scale
+    np.testing.assert_allclose(item["actions"][2], norm0, rtol=1e-4)
+    assert np.abs(item["actions"]).max() <= 1.0
+
+
+def test_constant_dim_ignored(tmp_path):
+    p = str(tmp_path / "const.hdf5")
+    with h5py.File(p, "w") as f:
+        ep = f.create_group("data/demo_0")
+        ep.attrs["num_samples"] = 4
+        ep.create_group("obs").create_dataset(
+            "eef_pos", data=np.zeros((4, 3), np.float32)
+        )
+        acts = np.zeros((4, 2), np.float32)
+        acts[:, 0] = np.arange(4)  # dim 1 constant
+        ep.create_dataset("actions", data=acts)
+    ds = SequenceDataset(
+        hdf5_path=p, obs_keys=["eef_pos"], action_keys=["actions"],
+        dataset_keys=["actions"],
+        action_config={"actions": {"normalization": "min_max"}},
+        frame_stack=1, seq_length=1, load_next_obs=False,
+    )
+    stats = ds.get_action_normalization_stats()
+    # constant dim gets unit-ish scale, no inf/nan
+    assert np.all(np.isfinite(stats["actions"]["scale"]))
+    assert np.all(np.isfinite(stats["actions"]["offset"]))
+    item = ds[1]
+    assert np.all(np.isfinite(item["actions"]))
+
+
+def test_meta_dataset_and_loader(demo_file, tmp_path):
+    p2 = write_demo_file(str(tmp_path / "d2.hdf5"), demo_lengths=[4], seed=1)
+    ds1 = make_ds(demo_file)
+    ds2 = make_ds(p2)
+    meta = MetaDataset([ds1, ds2], ds_weights=[1.0, 3.0])
+    assert len(meta) == len(ds1) + len(ds2)
+    # shared normalization stats propagated to members
+    assert ds1.action_normalization_stats is meta.action_normalization_stats
+
+    weights = meta.get_dataset_sampler()
+    assert weights is not None and abs(weights.sum() - 1.0) < 1e-9
+
+    loader = DataLoader(
+        meta, batch_size=4, sampler_weights=weights, num_workers=2, seed=0
+    )
+    batches = list(loader)
+    assert len(batches) == len(meta) // 4
+    b = batches[0]
+    assert b["obs"]["eef_pos"].shape == (4, 4, 3)
+    assert b["obs"]["cam_image"].dtype == np.uint8
+    assert b["actions"].shape == (4, 4, A)
+    assert "lang_emb" not in b["obs"]  # no lang encoder passed
+
+
+def test_cache_modes(demo_file):
+    ds_low = make_ds(demo_file, hdf5_cache_mode="low_dim")
+    item = ds_low[0]
+    assert item["obs"]["cam_image"].shape == (4, 8, 8, 3)
+    ds_all = make_ds(demo_file, hdf5_cache_mode="all")
+    item2 = ds_all[0]
+    np.testing.assert_array_equal(
+        item2["obs"]["eef_pos"], item["obs"]["eef_pos"]
+    )
