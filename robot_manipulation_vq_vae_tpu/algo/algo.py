@@ -181,9 +181,6 @@ class Algo:
             params=params, aux=aux, opt_states=opt_states,
             step=jnp.zeros((), jnp.int32), rng=rng,
         )
-        if self._pending_load is not None:
-            self.deserialize(self._pending_load)
-            self._pending_load = None
 
     # ------------------------------------------------------------ batch prep
     def process_batch_for_training(self, batch):
@@ -237,14 +234,26 @@ class Algo:
         }
 
     def deserialize(self, model_dict):
-        """Load weights (+ aux collections). If the state is not yet
-        initialized, defer until first batch (reference :341-363)."""
-        if self.state is None:
-            self._pending_load = model_dict
-            return
+        """Load weights (+ aux collections). A checkpoint is complete - if
+        the state is not yet initialized, build it directly from the
+        checkpoint pytrees (reference :341-363)."""
         params = jax.tree_util.tree_map(jnp.asarray, model_dict["params"])
-        aux = jax.tree_util.tree_map(jnp.asarray, model_dict.get("aux", self.state.aux))
-        self.state = self.state.replace(params=params, aux=aux)
+        if self.state is not None:
+            aux = jax.tree_util.tree_map(
+                jnp.asarray, model_dict.get("aux", self.state.aux)
+            )
+            self.state = self.state.replace(params=params, aux=aux)
+            return
+        aux = jax.tree_util.tree_map(jnp.asarray, model_dict.get("aux", {}))
+        opt_states = {
+            name: self.optimizers[name].init(params[name])
+            for name in params
+            if name in self.optimizers
+        }
+        self.state = AlgoState(
+            params=params, aux=aux, opt_states=opt_states,
+            step=jnp.zeros((), jnp.int32), rng=self._init_rng,
+        )
 
     def __repr__(self):
         return "{} (\n  nets: {}\n)".format(

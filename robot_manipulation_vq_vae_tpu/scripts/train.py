@@ -1,0 +1,366 @@
+"""Training entry point.
+
+Mirrors the reference CLI and flow (``robomimic/scripts/train.py``):
+
+    python -m robot_manipulation_vq_vae_tpu.scripts.train --config cfg.json
+        [--algo NAME] [--name RUN] [--dataset PATH] [--debug] [--eval_only]
+
+Flow (reference train.py:47-538): config -> obs-utils init -> per-dataset
+env/shape metadata -> eval envs (optional; requires robosuite on host) ->
+logger -> algo -> datasets/loaders -> epoch loop {run_epoch -> rollouts ->
+checkpoints -> MSE eval}.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+from collections import OrderedDict
+
+import numpy as np
+
+from robot_manipulation_vq_vae_tpu.config import config_factory
+import robot_manipulation_vq_vae_tpu.algo as AlgoReg
+from robot_manipulation_vq_vae_tpu.algo import (
+    ICLRolloutPolicy,
+    RolloutPolicy,
+    algo_factory,
+)
+from robot_manipulation_vq_vae_tpu.data.loader import DataLoader, InfiniteLoader
+from robot_manipulation_vq_vae_tpu.models import obs_core  # noqa: F401 (registers cores)
+from robot_manipulation_vq_vae_tpu.utils import env_utils as EnvUtils
+from robot_manipulation_vq_vae_tpu.utils import file_utils as FileUtils
+from robot_manipulation_vq_vae_tpu.utils import lang_utils as LangUtils
+from robot_manipulation_vq_vae_tpu.utils import log_utils as LogUtils
+from robot_manipulation_vq_vae_tpu.utils import obs_utils as ObsUtils
+from robot_manipulation_vq_vae_tpu.utils import train_utils as TrainUtils
+
+
+def train(config, eval_only=False):
+    """Main train loop (reference train.py:47-487)."""
+    np.random.seed(config.train.seed)
+
+    print("\n============= New Training Run with Config =============")
+    print(config)
+    log_dir, ckpt_dir, video_dir, time_str = TrainUtils.get_exp_dir(config)
+
+    if config.experiment.logging.terminal_output_to_txt:
+        logger = LogUtils.PrintLogger(os.path.join(log_dir, "log.txt"))
+        sys.stdout = logger
+        sys.stderr = logger
+
+    ObsUtils.initialize_obs_utils_with_config(config)
+
+    # per-dataset env/shape metadata (reference train.py:76-103)
+    dataset_cfg = config.train.data
+    if isinstance(dataset_cfg, str):
+        dataset_cfg = [{"path": dataset_cfg}]
+    dataset_paths = [e["path"] for e in dataset_cfg]
+    for p in dataset_paths:
+        assert os.path.exists(os.path.expanduser(p)), f"dataset {p} missing"
+
+    env_meta_list, shape_meta_list = [], []
+    for entry in dataset_cfg:
+        env_meta = FileUtils.get_env_metadata_from_dataset(
+            dataset_path=entry["path"],
+            ds_format=config.train.data_format,
+        )
+        meta_update = config.experiment.env_meta_update_dict
+        if meta_update:
+            env_meta.setdefault("env_kwargs", {})
+            for k, v in meta_update.get("env_kwargs", {}).items():
+                env_meta["env_kwargs"][k] = v
+        env_meta_list.append(env_meta)
+        shape_meta_list.append(
+            FileUtils.get_shape_metadata_from_dataset(
+                dataset_path=entry["path"],
+                action_keys=config.train.action_keys,
+                all_obs_keys=config.all_obs_keys,
+                ds_format=config.train.data_format,
+                verbose=True,
+            )
+        )
+    shape_meta = shape_meta_list[0]
+
+    # eval envs (only when rollouts enabled AND the sim stack is installed)
+    envs = OrderedDict()
+    if config.experiment.rollout.get("enabled", False) and not eval_only:
+        try:
+            for entry, env_meta in zip(dataset_cfg, env_meta_list):
+                if not entry.get("do_eval", True):
+                    continue
+                env = EnvUtils.create_env_from_metadata(
+                    env_meta=env_meta,
+                    render=False,
+                    render_offscreen=config.experiment.render_video,
+                    use_image_obs=shape_meta["use_images"],
+                )
+                env = EnvUtils.wrap_env_from_config(env, config=config)
+                envs[env.name] = env
+        except ImportError as e:
+            LogUtils.log_warning(
+                f"rollouts disabled: sim stack unavailable ({e})"
+            )
+
+    data_logger = LogUtils.DataLogger(
+        log_dir, config=config,
+        log_tb=config.experiment.logging.log_tb,
+        log_wandb=config.experiment.logging.log_wandb,
+    )
+
+    model = algo_factory(
+        algo_name=config.algo_name,
+        config=config,
+        obs_key_shapes=shape_meta["all_shapes"],
+        ac_dim=shape_meta["ac_dim"],
+    )
+
+    # checkpoint warm-start (reference train.py:173-178)
+    ckpt_path = config.experiment.ckpt_path
+    if ckpt_path is not None and os.path.isfile(ckpt_path):
+        ckpt = FileUtils.maybe_dict_from_checkpoint(ckpt_path=ckpt_path)
+        model.deserialize(ckpt["model"])
+        print(f"warm-started model weights from {ckpt_path}")
+
+    print("\n============= Model Summary =============")
+    print(model)
+
+    lang_encoder = LangUtils.LangEncoder()
+
+    trainset, validset = TrainUtils.load_data_for_training(
+        config, obs_keys=shape_meta["all_obs_keys"], lang_encoder=lang_encoder
+    )
+    print(f"\n============= Training Dataset =============\n{trainset}")
+
+    obs_normalization_stats = None
+    if config.train.hdf5_normalize_obs:
+        obs_normalization_stats = trainset.normalize_obs()
+    action_normalization_stats = trainset.get_action_normalization_stats()
+
+    sampler_weights = trainset.get_dataset_sampler()
+    train_loader = DataLoader(
+        trainset,
+        batch_size=config.train.batch_size,
+        shuffle=True,
+        sampler_weights=sampler_weights,
+        num_workers=min(int(config.train.num_data_workers) or 1, 16),
+        drop_last=True,
+        seed=config.train.seed,
+    )
+    # context loader for ICL rollouts (reference train.py:217-224: batch=1)
+    context_loader = InfiniteLoader(
+        DataLoader(
+            trainset, batch_size=1, shuffle=True,
+            sampler_weights=sampler_weights, num_workers=1,
+            seed=config.train.seed + 1,
+        )
+    )
+    valid_loader = None
+    if validset is not None:
+        valid_loader = DataLoader(
+            validset, batch_size=config.train.batch_size, shuffle=True,
+            num_workers=1, seed=config.train.seed,
+        )
+
+    best_return = {k: -np.inf for k in envs}
+    best_success_rate = {k: -1.0 for k in envs}
+    last_ckpt_time = time.time()
+
+    train_num_steps = config.experiment.epoch_every_n_steps
+    valid_num_steps = config.experiment.validation_epoch_every_n_steps
+    train_iter = iter(train_loader)
+
+    for epoch in range(1, config.train.num_epochs + 1):
+        if not eval_only:
+            step_log = TrainUtils.run_epoch(
+                model=model,
+                data_loader=train_loader,
+                epoch=epoch,
+                num_steps=train_num_steps,
+                obs_normalization_stats=obs_normalization_stats,
+                data_loader_iter=train_iter,
+            )
+            model.on_epoch_end(epoch)
+        else:
+            step_log = {}
+
+        # checkpoint cadence (reference train.py:283-294)
+        epoch_ckpt_name = f"model_epoch_{epoch}"
+        should_save_ckpt = False
+        ckpt_reason = None
+        if config.experiment.save.enabled:
+            time_check = (
+                config.experiment.save.every_n_seconds is not None
+                and time.time() - last_ckpt_time
+                > config.experiment.save.every_n_seconds
+            )
+            epoch_check = (
+                config.experiment.save.every_n_epochs is not None
+                and epoch > 0
+                and epoch % config.experiment.save.every_n_epochs == 0
+            )
+            epoch_list_check = epoch in config.experiment.save.epochs
+            should_save_ckpt = time_check or epoch_check or epoch_list_check
+            if should_save_ckpt:
+                last_ckpt_time = time.time()
+                ckpt_reason = "time"
+
+        for k, v in step_log.items():
+            if k.startswith("Time_"):
+                data_logger.record(f"Timing_Stats/Train_{k[5:]}", v, epoch)
+            else:
+                data_logger.record(f"Train/{k}", v, epoch)
+
+        # validation (reference train.py:303-324)
+        if config.experiment.validate and valid_loader is not None:
+            valid_step_log = TrainUtils.run_epoch(
+                model=model, data_loader=valid_loader, epoch=epoch,
+                validate=True, num_steps=valid_num_steps,
+            )
+            for k, v in valid_step_log.items():
+                if k.startswith("Time_"):
+                    data_logger.record(f"Timing_Stats/Valid_{k[5:]}", v, epoch)
+                else:
+                    data_logger.record(f"Valid/{k}", v, epoch)
+
+        # rollout evaluation (reference train.py:325-430)
+        video_paths = None
+        rollout_check = (
+            epoch % config.experiment.rollout.rate == 0 or eval_only
+        )
+        if (
+            config.experiment.rollout.enabled
+            and envs
+            and (epoch > config.experiment.rollout.warmstart)
+            and rollout_check
+        ):
+            is_icl = config.algo_name.startswith("icl")
+            wrapper = ICLRolloutPolicy if is_icl else RolloutPolicy
+            rollout_model = wrapper(
+                model,
+                obs_normalization_stats=obs_normalization_stats,
+                action_normalization_stats=action_normalization_stats,
+                lang_encoder=lang_encoder,
+            )
+            context_batch = None
+            if is_icl:
+                raw = next(context_loader)
+                context_batch = model.process_batch_for_training(raw)
+
+            num_episodes = config.experiment.rollout.n
+            all_rollout_logs, video_paths = TrainUtils.rollout_with_stats(
+                policy=rollout_model,
+                envs=envs,
+                horizon=config.experiment.rollout.horizon,
+                context_batch=context_batch,
+                use_goals=config.use_goals,
+                num_episodes=num_episodes,
+                render=config.experiment.render,
+                video_dir=video_dir if config.experiment.render_video else None,
+                epoch=epoch,
+                video_skip=config.experiment.video_skip,
+                terminate_on_success=config.experiment.rollout.terminate_on_success,
+            )
+            for env_name, rollout_logs in all_rollout_logs.items():
+                for k, v in rollout_logs.items():
+                    if k.startswith("Time_"):
+                        data_logger.record(
+                            f"Timing_Stats/Rollout_{env_name}_{k[5:]}", v, epoch
+                        )
+                    else:
+                        data_logger.record(
+                            f"Rollout/{k}/{env_name}", v, epoch, log_stats=True
+                        )
+                print(f"Env: {env_name}")
+                print(json.dumps(rollout_logs, sort_keys=True, indent=4))
+
+            updated = TrainUtils.should_save_from_rollout_logs(
+                all_rollout_logs=all_rollout_logs,
+                best_return=best_return,
+                best_success_rate=best_success_rate,
+                epoch_ckpt_name=epoch_ckpt_name,
+                save_on_best_rollout_return=config.experiment.save.on_best_rollout_return,
+                save_on_best_rollout_success_rate=config.experiment.save.on_best_rollout_success_rate,
+            )
+            best_return = updated["best_return"]
+            best_success_rate = updated["best_success_rate"]
+            epoch_ckpt_name = updated["epoch_ckpt_name"]
+            should_save_ckpt = should_save_ckpt or updated["should_save_ckpt"]
+
+        # save checkpoint (reference train.py:469-479)
+        if should_save_ckpt and not eval_only:
+            TrainUtils.save_model(
+                model=model,
+                config=config,
+                env_meta=env_meta_list[0],
+                shape_meta=shape_meta,
+                ckpt_path=os.path.join(ckpt_dir, epoch_ckpt_name + ".ckpt"),
+                obs_normalization_stats=obs_normalization_stats,
+                action_normalization_stats=action_normalization_stats,
+            )
+
+        if "Loss" in step_log:
+            print(f"Epoch {epoch}: Loss {step_log['Loss']:.6f}")
+        if eval_only:
+            break
+
+    data_logger.close()
+
+
+def main(args):
+    if args.config is not None:
+        with open(args.config) as f:
+            ext_cfg = json.load(f)
+        config = config_factory(ext_cfg["algo_name"])
+        with config.values_unlocked():
+            config.update(ext_cfg)
+    else:
+        config = config_factory(args.algo)
+
+    if args.dataset is not None:
+        with config.values_unlocked():
+            config.train.data = args.dataset
+    if args.name is not None:
+        with config.values_unlocked():
+            config.experiment.name = args.name
+    if args.output_dir is not None:
+        with config.values_unlocked():
+            config.train.output_dir = args.output_dir
+
+    if args.debug:
+        with config.values_unlocked():
+            config.unlock()
+            config.experiment.epoch_every_n_steps = 3
+            config.experiment.validation_epoch_every_n_steps = 3
+            config.train.num_epochs = 2
+            config.experiment.rollout.rate = 1
+            config.experiment.rollout.n = 2
+            config.experiment.rollout.horizon = 10
+            config.experiment.save.every_n_epochs = 1
+            config.lock_keys()
+
+    config.lock()
+
+    if args.debug:
+        train(config, eval_only=args.eval_only)
+        return
+
+    try:
+        train(config, eval_only=args.eval_only)
+    except Exception as e:
+        print(f"run failed with error:\n{e}\n\n{traceback.format_exc()}")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--algo", type=str, default=None)
+    parser.add_argument("--name", type=str, default=None)
+    parser.add_argument("--dataset", type=str, default=None)
+    parser.add_argument("--output_dir", type=str, default=None)
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--eval_only", action="store_true")
+    args = parser.parse_args()
+    main(args)

@@ -1,0 +1,219 @@
+"""Dataset/checkpoint file utilities (reference ``robomimic/utils/file_utils.py``).
+
+Checkpoints are self-describing pickles holding numpy pytrees:
+  {model: {params, aux}, config: json-str, algo_name, env_metadata,
+   shape_metadata, obs_normalization_stats?, action_normalization_stats}
+mirroring the reference's ``.pth`` layout (train_utils.py:1216-1234) so
+``policy_from_checkpoint`` can rebuild everything from one file.
+"""
+
+import json
+import os
+import pickle
+from collections import OrderedDict
+
+import h5py
+import numpy as np
+
+from robot_manipulation_vq_vae_tpu.utils import obs_utils as ObsUtils
+
+
+# ---------------------------------------------------------------------------
+# hdf5 metadata
+# ---------------------------------------------------------------------------
+
+def create_hdf5_filter_key(hdf5_path, demo_keys, key_name):
+    """Write ``mask/<key_name>`` listing @demo_keys (reference :24-60)."""
+    with h5py.File(hdf5_path, "a") as f:
+        demos = sorted(list(f["data"].keys()))
+        lengths = []
+        for ep in demo_keys:
+            lengths.append(f[f"data/{ep}"].attrs["num_samples"])
+        k = f"mask/{key_name}"
+        if k in f:
+            del f[k]
+        f[k] = np.array(demo_keys, dtype="S")
+    return np.array(lengths)
+
+
+def get_demos_for_filter_key(hdf5_path, filter_key):
+    with h5py.File(hdf5_path, "r") as f:
+        return [e.decode("utf-8") for e in np.array(f[f"mask/{filter_key}"][:])]
+
+
+def get_env_metadata_from_dataset(dataset_path, ds_format="robomimic",
+                                  set_env_specific_obs_processors=True):
+    """Read the env metadata json stored on the data group
+    (reference :85-110)."""
+    dataset_path = os.path.expanduser(dataset_path)
+    with h5py.File(dataset_path, "r") as f:
+        if ds_format == "robomimic":
+            env_meta = json.loads(f["data"].attrs["env_args"])
+        elif ds_format == "r2d2":
+            env_meta = dict(f.attrs)
+        else:
+            raise ValueError(ds_format)
+    return env_meta
+
+
+def get_shape_metadata_from_dataset(dataset_path, action_keys,
+                                    all_obs_keys=None, ds_format="robomimic",
+                                    verbose=False):
+    """ac_dim + processed obs shapes (reference :111-228).
+
+    NOTE image shapes are (H, W, C) channels-last here (see
+    ``utils/obs_utils.py`` module docstring)."""
+    shape_meta = {}
+    dataset_path = os.path.expanduser(dataset_path)
+    with h5py.File(dataset_path, "r") as f:
+        if ds_format != "robomimic":
+            raise NotImplementedError(f"ds_format {ds_format}")
+        demo_id = list(f["data"].keys())[0]
+        demo = f[f"data/{demo_id}"]
+
+        for key in action_keys:
+            arr = demo[key]
+            assert len(arr.shape) == 2, f"action key {key} must be 2-D"
+        shape_meta["ac_dim"] = int(
+            sum(demo[key].shape[1] for key in action_keys)
+        )
+
+        all_shapes = OrderedDict()
+        if all_obs_keys is None:
+            all_obs_keys = list(demo["obs"].keys())
+        for k in sorted(all_obs_keys):
+            initial_shape = demo[f"obs/{k}"].shape[1:]
+            if verbose:
+                print(f"obs key {k} with shape {initial_shape}")
+            all_shapes[k] = ObsUtils.get_processed_shape(
+                obs_modality=ObsUtils.OBS_KEYS_TO_MODALITIES[k],
+                input_shape=initial_shape,
+            )
+        shape_meta["all_shapes"] = all_shapes
+        shape_meta["all_obs_keys"] = all_obs_keys
+        shape_meta["use_images"] = any(
+            ObsUtils.OBS_KEYS_TO_MODALITIES[k] == "rgb" for k in all_obs_keys
+        )
+    return shape_meta
+
+
+# ---------------------------------------------------------------------------
+# checkpoints
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(ckpt_dict, ckpt_path):
+    os.makedirs(os.path.dirname(os.path.abspath(ckpt_path)), exist_ok=True)
+    with open(ckpt_path, "wb") as f:
+        pickle.dump(ckpt_dict, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def maybe_dict_from_checkpoint(ckpt_path=None, ckpt_dict=None):
+    """Load the checkpoint dict if only a path is given (reference :229-248)."""
+    assert (ckpt_path is not None) or (ckpt_dict is not None)
+    if ckpt_dict is None:
+        with open(os.path.expanduser(ckpt_path), "rb") as f:
+            ckpt_dict = pickle.load(f)
+    return ckpt_dict
+
+
+def algo_name_from_checkpoint(ckpt_path=None, ckpt_dict=None):
+    ckpt_dict = maybe_dict_from_checkpoint(ckpt_path, ckpt_dict)
+    return ckpt_dict["algo_name"], ckpt_dict
+
+
+def config_from_checkpoint(algo_name=None, ckpt_path=None, ckpt_dict=None,
+                           verbose=False):
+    """Rebuild the locked Config from a checkpoint (reference :270-356)."""
+    from robot_manipulation_vq_vae_tpu.config import config_factory
+
+    ckpt_dict = maybe_dict_from_checkpoint(ckpt_path, ckpt_dict)
+    if algo_name is None:
+        algo_name, _ = algo_name_from_checkpoint(ckpt_dict=ckpt_dict)
+    config_json = ckpt_dict["config"]
+    config = config_factory(algo_name, dic=json.loads(config_json))
+    if verbose:
+        print("loaded config from checkpoint:")
+        print(config)
+    config.lock()
+    return config, ckpt_dict
+
+
+def policy_from_checkpoint(device=None, ckpt_path=None, ckpt_dict=None,
+                           verbose=False):
+    """Checkpoint -> (RolloutPolicy, ckpt_dict) (reference :396-469)."""
+    from robot_manipulation_vq_vae_tpu.algo import (
+        RolloutPolicy, ICLRolloutPolicy, algo_factory,
+    )
+
+    ckpt_dict = maybe_dict_from_checkpoint(ckpt_path, ckpt_dict)
+    algo_name, _ = algo_name_from_checkpoint(ckpt_dict=ckpt_dict)
+    config, _ = config_from_checkpoint(
+        algo_name=algo_name, ckpt_dict=ckpt_dict, verbose=verbose
+    )
+    ObsUtils.initialize_obs_utils_with_config(config)
+    # make sure encoder cores are registered
+    from robot_manipulation_vq_vae_tpu.models import obs_core  # noqa: F401
+
+    shape_meta = ckpt_dict["shape_metadata"]
+    model = algo_factory(
+        algo_name,
+        config,
+        obs_key_shapes=shape_meta["all_shapes"],
+        ac_dim=shape_meta["ac_dim"],
+        device=device,
+    )
+    model.deserialize(ckpt_dict["model"])
+
+    obs_stats = ckpt_dict.get("obs_normalization_stats", None)
+    action_stats = ckpt_dict.get("action_normalization_stats", None)
+    wrapper = ICLRolloutPolicy if algo_name.startswith("icl") else RolloutPolicy
+    policy = wrapper(
+        model,
+        obs_normalization_stats=obs_stats,
+        action_normalization_stats=action_stats,
+    )
+    return policy, ckpt_dict
+
+
+def env_from_checkpoint(ckpt_path=None, ckpt_dict=None, env_name=None,
+                        render=False, render_offscreen=False, verbose=False):
+    """Rebuild the eval env from checkpoint metadata (reference :470-540)."""
+    from robot_manipulation_vq_vae_tpu.utils import env_utils as EnvUtils
+
+    ckpt_dict = maybe_dict_from_checkpoint(ckpt_path, ckpt_dict)
+    env_meta = ckpt_dict["env_metadata"]
+    if env_name is not None:
+        env_meta["env_name"] = env_name
+    env = EnvUtils.create_env_from_metadata(
+        env_meta=env_meta, render=render, render_offscreen=render_offscreen
+    )
+    return env, ckpt_dict
+
+
+def load_reference_torch_checkpoint(pth_path):
+    """Load a reference robomimic ``.pth`` checkpoint into numpy dicts
+    (weights interop; requires torch). Returns the raw dict with all
+    tensors converted to numpy."""
+    import torch
+
+    ckpt = torch.load(pth_path, map_location="cpu", weights_only=False)
+
+    def to_np(x):
+        if hasattr(x, "detach"):
+            return x.detach().numpy()
+        if isinstance(x, dict):
+            return {k: to_np(v) for k, v in x.items()}
+        return x
+
+    return to_np(ckpt)
+
+
+def url_is_alive(url):
+    return False  # zero-egress environment
+
+
+def download_url(url, download_dir, check_overwrite=True):
+    raise RuntimeError(
+        "download_url is unavailable in zero-egress environments; place the "
+        f"file manually in {download_dir}"
+    )

@@ -1,0 +1,184 @@
+"""End-to-end smoke test: synthetic robomimic-format HDF5 -> train CLI in
+--debug mode -> checkpoint -> policy_from_checkpoint -> action.
+
+This is the framework-level equivalent of the reference's
+``robomimic/tests`` strategy (SURVEY.md section 4): tiny real data through
+the full train->checkpoint->deploy path (env rollouts excluded here since
+the sim stack is host-only).
+"""
+
+import glob
+import json
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+A = 7  # 3 pos + 3 rot + 1 gripper
+
+
+def write_robomimic_hdf5(path, n_demos=3, T=12, img=16, seed=0):
+    rng = np.random.RandomState(seed)
+    env_args = {
+        "env_name": "TestKitchenEnv",
+        "type": 1,
+        "env_kwargs": {"robots": "PandaMobile"},
+    }
+    with h5py.File(path, "w") as f:
+        data = f.create_group("data")
+        data.attrs["env_args"] = json.dumps(env_args)
+        for i in range(n_demos):
+            ep = data.create_group(f"demo_{i}")
+            ep.attrs["num_samples"] = T
+            ep.attrs["ep_meta"] = json.dumps({"lang": "pick the object"})
+            obs = ep.create_group("obs")
+            obs.create_dataset(
+                "robot0_eef_pos",
+                data=rng.randn(T, 3).astype(np.float32),
+            )
+            obs.create_dataset(
+                "robot0_gripper_qpos",
+                data=rng.randn(T, 2).astype(np.float32),
+            )
+            obs.create_dataset(
+                "robot0_eye_in_hand_image",
+                data=rng.randint(0, 255, (T, img, img, 3), dtype=np.uint8),
+            )
+            ep.create_dataset(
+                "actions", data=rng.uniform(-1, 1, (T, A)).astype(np.float32)
+            )
+        mask = f.create_group("mask")
+        mask.create_dataset(
+            "valid", data=np.array([b"demo_0", b"demo_1", b"demo_2"])
+        )
+    return path
+
+
+def make_config_json(tmp_path, data_path):
+    cfg = {
+        "algo_name": "icl",
+        "experiment": {
+            "name": "smoke",
+            "validate": False,
+            "logging": {"terminal_output_to_txt": False, "log_tb": False,
+                        "log_wandb": False},
+            "save": {"enabled": True, "every_n_epochs": 1},
+            "epoch_every_n_steps": 2,
+            "rollout": {"enabled": False},
+        },
+        "train": {
+            "data": [{"path": data_path, "do_eval": False}],
+            "output_dir": str(tmp_path / "out"),
+            "num_data_workers": 2,
+            "hdf5_cache_mode": None,
+            "hdf5_load_next_obs": False,
+            "seq_length": 4,
+            "frame_stack": 4,
+            "dataset_keys": ["actions"],
+            "batch_size": 4,
+            "num_epochs": 1,
+            "max_grad_norm": 100.0,
+            "seed": 123,
+            "action_config": {"actions": {"normalization": "min_max"}},
+        },
+        "algo": {
+            "transformer": {
+                "enabled": True,
+                "context_length": 4,
+                "embed_dim": 32,
+                "num_layers": 1,
+                "num_heads": 4,
+                "supervise_all_steps": True,
+                "pred_future_acs": True,
+                "causal": False,
+                "vq_vae_enabled": True,
+                "ln_act_enabled": False,
+                "vqvae": {
+                    "num_subclusters": 16,
+                    "num_clusters": 8,
+                    "embed_dim": 32,
+                    "num_stages": 1,
+                    "num_layers_per_stage": 2,
+                    "lambda_rec": 1.0,
+                },
+            },
+        },
+        "observation": {
+            "modalities": {
+                "obs": {
+                    "low_dim": ["robot0_eef_pos", "robot0_gripper_qpos"],
+                    "rgb": ["robot0_eye_in_hand_image"],
+                    "depth": [],
+                    "scan": [],
+                }
+            },
+            "encoder": {
+                "rgb": {
+                    "core_class": "VisualCore",
+                    "core_kwargs": {
+                        "feature_dimension": 16,
+                        "backbone_class": "ResNet18Conv",
+                        "pool_class": "SpatialSoftmax",
+                        "pool_kwargs": {"num_kp": 4},
+                    },
+                    "obs_randomizer_class": "CropRandomizer",
+                    "obs_randomizer_kwargs": {
+                        "crop_height": 12, "crop_width": 12, "num_crops": 1,
+                    },
+                },
+            },
+        },
+    }
+    p = tmp_path / "config.json"
+    with open(p, "w") as f:
+        json.dump(cfg, f)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def trained_ckpt(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("e2e")
+    data_path = write_robomimic_hdf5(str(tmp_path / "demos.hdf5"))
+    cfg_path = make_config_json(tmp_path, data_path)
+
+    import argparse
+
+    from robot_manipulation_vq_vae_tpu.scripts.train import main
+
+    args = argparse.Namespace(
+        config=cfg_path, algo=None, name=None, dataset=None,
+        output_dir=None, debug=True, eval_only=False,
+    )
+    main(args)
+
+    ckpts = glob.glob(str(tmp_path / "out" / "smoke" / "*" / "models" / "*.ckpt"))
+    assert ckpts, "no checkpoint written"
+    return ckpts[0]
+
+
+def test_train_writes_checkpoint(trained_ckpt):
+    assert os.path.getsize(trained_ckpt) > 1000
+
+
+def test_policy_from_checkpoint(trained_ckpt):
+    from robot_manipulation_vq_vae_tpu.utils import file_utils as FileUtils
+
+    policy, ckpt_dict = FileUtils.policy_from_checkpoint(
+        ckpt_path=trained_ckpt
+    )
+    assert ckpt_dict["algo_name"] == "icl"
+    assert ckpt_dict["shape_metadata"]["ac_dim"] == A
+
+    rng = np.random.RandomState(0)
+    H = 4
+    ob = {
+        "robot0_eef_pos": rng.randn(H, 3).astype(np.float32),
+        "robot0_gripper_qpos": rng.randn(H, 2).astype(np.float32),
+        "robot0_eye_in_hand_image": rng.rand(H, 16, 16, 3).astype(np.float32),
+    }
+    ctx = {"actions": rng.uniform(-1, 1, (1, H, A)).astype(np.float32)}
+    policy.start_episode(lang="pick the object")
+    ac = policy(ob, context_batch=ctx)
+    assert ac.shape == (A,)
+    assert np.all(np.isfinite(ac))
