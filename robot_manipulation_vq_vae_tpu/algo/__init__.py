@@ -25,3 +25,15 @@ from robot_manipulation_vq_vae_tpu.algo.icl import (  # noqa: F401
     ICLTransformerHVQVAE,
     ICLTransformer_GMM,
 )
+
+from robot_manipulation_vq_vae_tpu.algo import bc  # noqa: F401
+from robot_manipulation_vq_vae_tpu.algo.bc import (  # noqa: F401
+    BC,
+    BC_Gaussian,
+    BC_GMM,
+    BC_VAE,
+    BC_RNN,
+    BC_RNN_GMM,
+    BC_Transformer,
+    BC_Transformer_GMM,
+)

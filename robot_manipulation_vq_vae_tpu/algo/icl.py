@@ -372,6 +372,14 @@ class ICLRNN(ICL):
 class ICLRNN_GMM(ICLRNN):
     """RNN-GMM ICL (reference icl.py:664)."""
 
+    def get_action(self, obs_dict, goal_dict=None):
+        obs = device_process_obs({k: jnp.asarray(v) for k, v in obs_dict.items()})
+        variables = {"params": self.state.params["policy"],
+                     **self.state.aux["policy"]}
+        dist = self.nets["policy"].apply(variables, obs, train=False)
+        self._init_rng, key = jax.random.split(self._init_rng)
+        return dist.sample(key)[:, -1]
+
     def _create_networks(self):
         self.nets["policy"] = PolicyNets.RNNGMMActorNetwork(
             obs_shapes=tuple(self.obs_shapes.items()),
@@ -510,49 +518,6 @@ class ICLTransformer(ICL):
         )
         return self._select_output(out)
 
-
-class ICLTransformerHVQVAE(ICLTransformer):
-    """ICL transformer + hierarchical VQ-VAE co-training - the shipped
-    ``train_config.json`` path (reference icl.py:909-1405)."""
-
-    def _create_networks(self):
-        assert self.algo_config.transformer.enabled
-        self.nets["policy"] = PolicyNets.TransformerActorNetwork(
-            obs_shapes=tuple(self.obs_shapes.items()),
-            goal_shapes=tuple(self.goal_shapes.items()) or None,
-            ac_dim=self.ac_dim,
-            encoder_kwargs=_encoder_kwargs(self.obs_config),
-            **self._policy_transformer_args(),
-        )
-        self._set_params_from_config()
-        if self.vq_vae_enabled:
-            vq_cfg = self.algo_config.transformer.vqvae
-            self.nets["vqvae"] = HierarchicalVQVAE(
-                action_dim=self.ac_dim,
-                num_subclusters=vq_cfg.get("num_subclusters", 128),
-                num_clusters=vq_cfg.get("num_clusters", 32),
-                embed_dim=vq_cfg.get(
-                    "embed_dim", self.algo_config.transformer.embed_dim
-                ),
-                num_stages=vq_cfg.get("num_stages", 2),
-                num_layers_per_stage=vq_cfg.get("num_layers_per_stage", 10),
-                beta=vq_cfg.get("beta_ema", 0.8),
-                dropout=vq_cfg.get("dropout", 0.1),
-                kmeans_init=True,
-            )
-            self.vqvae_lambda_rec = vq_cfg.get("lambda_rec", 1.0)
-            self.vqvae_pretrain_epochs = vq_cfg.get("pretrain_epochs", 0)
-
-    def _create_optimizers(self):
-        """Policy + (fallback-aware) VQ-VAE optimizer (reference
-        icl.py:1005-1045)."""
-        super()._create_optimizers()
-        if self.vq_vae_enabled and "vqvae" in self.nets and "vqvae" not in self.optimizers:
-            self.optimizers["vqvae"] = OptimUtils.optimizer_from_optim_params(
-                self.optim_params.get("vqvae", self.optim_params["policy"]),
-                max_grad_norm=self.global_config.train.get("max_grad_norm", None),
-            )
-
     def _init_variables(self, rng, batch):
         r1, r2 = jax.random.split(rng)
         obs = device_process_obs(
@@ -561,18 +526,21 @@ class ICLTransformerHVQVAE(ICLTransformer):
         out = {
             "policy": self.nets["policy"].init({"params": r1}, obs, train=False)
         }
-        if self.vq_vae_enabled:
+        if "vqvae" in self.nets:
             out["vqvae"] = self.nets["vqvae"].init(
                 {"params": r2}, jnp.asarray(batch["actions"]), training=False
             )
         return out
 
     def _build_train_step(self):
+        """Shared transformer BC/ICL step: sequence prediction losses, with
+        the HVQVAE combined-loss path when a vqvae net exists
+        (reference icl.py:1047-1213)."""
         policy = self.nets["policy"]
         vqvae = self.nets.get("vqvae")
         pol_opt = self.optimizers["policy"]
         vq_opt = self.optimizers.get("vqvae")
-        vq_enabled = self.vq_vae_enabled
+        vq_enabled = self.vq_vae_enabled and vqvae is not None
         lambda_rec = getattr(self, "vqvae_lambda_rec", 1.0)
         import optax
 
@@ -640,7 +608,8 @@ class ICLTransformerHVQVAE(ICLTransformer):
                 if vq_enabled:
                     p_vq, o_vq = apply_net("vqvae", vq_opt)
                     return p_pol, o_pol, p_vq, o_vq
-                return p_pol, o_pol, state.params.get("vqvae"), state.opt_states.get("vqvae")
+                return (p_pol, o_pol, state.params.get("vqvae"),
+                        state.opt_states.get("vqvae"))
 
             def no_update(_):
                 return (
@@ -669,6 +638,49 @@ class ICLTransformerHVQVAE(ICLTransformer):
             )
 
         return jax.jit(step, static_argnums=2)
+
+
+class ICLTransformerHVQVAE(ICLTransformer):
+    """ICL transformer + hierarchical VQ-VAE co-training - the shipped
+    ``train_config.json`` path (reference icl.py:909-1405)."""
+
+    def _create_networks(self):
+        assert self.algo_config.transformer.enabled
+        self.nets["policy"] = PolicyNets.TransformerActorNetwork(
+            obs_shapes=tuple(self.obs_shapes.items()),
+            goal_shapes=tuple(self.goal_shapes.items()) or None,
+            ac_dim=self.ac_dim,
+            encoder_kwargs=_encoder_kwargs(self.obs_config),
+            **self._policy_transformer_args(),
+        )
+        self._set_params_from_config()
+        if self.vq_vae_enabled:
+            vq_cfg = self.algo_config.transformer.vqvae
+            self.nets["vqvae"] = HierarchicalVQVAE(
+                action_dim=self.ac_dim,
+                num_subclusters=vq_cfg.get("num_subclusters", 128),
+                num_clusters=vq_cfg.get("num_clusters", 32),
+                embed_dim=vq_cfg.get(
+                    "embed_dim", self.algo_config.transformer.embed_dim
+                ),
+                num_stages=vq_cfg.get("num_stages", 2),
+                num_layers_per_stage=vq_cfg.get("num_layers_per_stage", 10),
+                beta=vq_cfg.get("beta_ema", 0.8),
+                dropout=vq_cfg.get("dropout", 0.1),
+                kmeans_init=True,
+            )
+            self.vqvae_lambda_rec = vq_cfg.get("lambda_rec", 1.0)
+            self.vqvae_pretrain_epochs = vq_cfg.get("pretrain_epochs", 0)
+
+    def _create_optimizers(self):
+        """Policy + (fallback-aware) VQ-VAE optimizer (reference
+        icl.py:1005-1045)."""
+        super()._create_optimizers()
+        if self.vq_vae_enabled and "vqvae" in self.nets and "vqvae" not in self.optimizers:
+            self.optimizers["vqvae"] = OptimUtils.optimizer_from_optim_params(
+                self.optim_params.get("vqvae", self.optim_params["policy"]),
+                max_grad_norm=self.global_config.train.get("max_grad_norm", None),
+            )
 
     def train_on_batch(self, batch, epoch, validate=False):
         batch = {

@@ -6,3 +6,4 @@ from robot_manipulation_vq_vae_tpu.config.base_config import (
     REGISTERED_CONFIGS,
 )
 from robot_manipulation_vq_vae_tpu.config.icl_config import ICLConfig, ICLHVQVAEConfig
+from robot_manipulation_vq_vae_tpu.config.bc_config import BCConfig

@@ -250,12 +250,11 @@ class RNNGMMActorNetwork(RNNActorNetwork):
         hidden, state = self.rnn(seq, initial_state=initial_state)
         m, a = self.num_modes, self.ac_dim
         means = jnp.tanh(self.mean_head(hidden).reshape(b, t, m, a))
+        raw_scales = self.scale_head(hidden).reshape(b, t, m, a)
         if self.low_noise_eval and not train:
             scales = jnp.ones_like(means) * 1e-4
         else:
-            scales = _STD_ACTIVATIONS[self.std_activation](
-                self.scale_head(hidden).reshape(b, t, m, a)
-            ) + self.min_std
+            scales = _STD_ACTIVATIONS[self.std_activation](raw_scales) + self.min_std
         logits = self.logit_head(hidden)
         dist = GMMActionDistribution(means=means, scales=scales, logits=logits)
         if return_state:
