@@ -37,3 +37,9 @@ from robot_manipulation_vq_vae_tpu.algo.bc import (  # noqa: F401
     BC_Transformer,
     BC_Transformer_GMM,
 )
+
+from robot_manipulation_vq_vae_tpu.algo import iql, td3_bc, bcq, cql  # noqa: F401
+from robot_manipulation_vq_vae_tpu.algo.iql import IQL  # noqa: F401
+from robot_manipulation_vq_vae_tpu.algo.td3_bc import TD3_BC  # noqa: F401
+from robot_manipulation_vq_vae_tpu.algo.bcq import BCQ  # noqa: F401
+from robot_manipulation_vq_vae_tpu.algo.cql import CQL  # noqa: F401

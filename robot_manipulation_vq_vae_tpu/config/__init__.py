@@ -7,3 +7,7 @@ from robot_manipulation_vq_vae_tpu.config.base_config import (
 )
 from robot_manipulation_vq_vae_tpu.config.icl_config import ICLConfig, ICLHVQVAEConfig
 from robot_manipulation_vq_vae_tpu.config.bc_config import BCConfig
+from robot_manipulation_vq_vae_tpu.config.iql_config import IQLConfig
+from robot_manipulation_vq_vae_tpu.config.td3_bc_config import TD3_BCConfig
+from robot_manipulation_vq_vae_tpu.config.bcq_config import BCQConfig
+from robot_manipulation_vq_vae_tpu.config.cql_config import CQLConfig

@@ -1,0 +1,113 @@
+"""Offline-RL algo smoke tests (IQL / TD3-BC / BCQ / CQL): two jitted steps
+on synthetic (s, a, r, s', d) batches, target-network updates, actions."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from robot_manipulation_vq_vae_tpu.config import config_factory
+from robot_manipulation_vq_vae_tpu.utils import obs_utils as ObsUtils
+from robot_manipulation_vq_vae_tpu.models import obs_core  # noqa: F401
+import robot_manipulation_vq_vae_tpu.algo as AlgoReg
+
+B, A = 6, 4
+OBS_KEYS = {"flat": (9,)}
+
+
+def make_algo(name, **overrides):
+    config = config_factory(name)
+    with config.values_unlocked():
+        config.observation.modalities.obs.low_dim = list(OBS_KEYS)
+        config.observation.modalities.obs.rgb = []
+        config.algo.critic.layer_dims = (32, 32)
+        config.algo.actor.layer_dims = (32, 32)
+        for k, v in overrides.items():
+            node = config.algo
+            parts = k.split(".")
+            for p in parts[:-1]:
+                node = node[p]
+            node[parts[-1]] = v
+    config.lock()
+    ObsUtils.initialize_obs_utils_with_config(config)
+    return AlgoReg.algo_factory(
+        name, config, obs_key_shapes=dict(OBS_KEYS), ac_dim=A
+    )
+
+
+def make_batch(rng, T=2):
+    return {
+        "obs": {"flat": rng.randn(B, T, 9).astype(np.float32)},
+        "next_obs": {"flat": rng.randn(B, T, 9).astype(np.float32)},
+        "actions": rng.uniform(-1, 1, (B, T, A)).astype(np.float32),
+        "rewards": rng.rand(B, T).astype(np.float32),
+        "dones": np.zeros((B, T), np.float32),
+    }
+
+
+def _run_two_steps(algo):
+    rng = np.random.RandomState(0)
+    logs = []
+    for _ in range(2):
+        batch = algo.process_batch_for_training(make_batch(rng))
+        info = algo.train_on_batch(batch, epoch=1)
+        log = algo.log_info(info)
+        logs.append(log)
+        for k, v in log.items():
+            assert np.isfinite(v), (k, v)
+    obs = {"flat": rng.randn(1, 9).astype(np.float32)}
+    ac = np.asarray(algo.get_action(obs))
+    assert ac.shape == (1, A)
+    assert np.all(np.isfinite(ac))
+    return logs
+
+
+def test_iql():
+    algo = make_algo("iql")
+    assert isinstance(algo, AlgoReg.IQL)
+    logs = _run_two_steps(algo)
+    assert "vf_loss" in logs[0]
+    # target critics must differ from online after updates (polyak moved them)
+    t = jax.tree_util.tree_leaves(algo.state.params["critic0_target"])
+    o = jax.tree_util.tree_leaves(algo.state.params["critic0"])
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(t, o)
+    )
+
+
+def test_td3_bc():
+    algo = make_algo("td3_bc")
+    assert isinstance(algo, AlgoReg.TD3_BC)
+    logs = _run_two_steps(algo)
+    assert "critic/critic1_loss" in logs[0]
+    # Q-value API
+    rng = np.random.RandomState(1)
+    obs = {"flat": rng.randn(2, 9).astype(np.float32)}
+    acts = rng.uniform(-1, 1, (2, A)).astype(np.float32)
+    q = np.asarray(algo.get_state_action_value(obs, acts))
+    assert q.shape == (2, 1)
+
+
+def test_bcq():
+    algo = make_algo(
+        "bcq",
+        **{"critic.num_action_samples": 3,
+           "critic.num_action_samples_rollout": 5,
+           "action_sampler.vae.encoder_layer_dims": (32,),
+           "action_sampler.vae.decoder_layer_dims": (32,),
+           "action_sampler.vae.prior_layer_dims": (32,)},
+    )
+    assert isinstance(algo, AlgoReg.BCQ)
+    logs = _run_two_steps(algo)
+    assert "action_sampler/loss" in logs[0]
+
+
+def test_cql():
+    algo = make_algo("cql", **{"critic.num_random_actions": 4})
+    assert isinstance(algo, AlgoReg.CQL)
+    logs = _run_two_steps(algo)
+    assert "actor/alpha" in logs[0]
+    assert "critic/critic1_gap" in logs[0]
+    # lagrange multiplier state exists (target_q_gap default 5.0 > 0)
+    assert "log_alpha_prime" in algo.state.params
