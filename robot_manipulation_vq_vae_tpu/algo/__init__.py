@@ -43,3 +43,8 @@ from robot_manipulation_vq_vae_tpu.algo.iql import IQL  # noqa: F401
 from robot_manipulation_vq_vae_tpu.algo.td3_bc import TD3_BC  # noqa: F401
 from robot_manipulation_vq_vae_tpu.algo.bcq import BCQ  # noqa: F401
 from robot_manipulation_vq_vae_tpu.algo.cql import CQL  # noqa: F401
+
+from robot_manipulation_vq_vae_tpu.algo import gl, hbc, iris  # noqa: F401
+from robot_manipulation_vq_vae_tpu.algo.gl import GL, GL_VAE, ValuePlanner  # noqa: F401
+from robot_manipulation_vq_vae_tpu.algo.hbc import HBC  # noqa: F401
+from robot_manipulation_vq_vae_tpu.algo.iris import IRIS  # noqa: F401

@@ -247,6 +247,31 @@ class BCQ(PolicyAlgo):
         log["Loss"] = log.get("action_sampler/loss", 0.0)
         return log
 
+    def get_state_value(self, obs_dict, goal_dict=None):
+        """V(s) estimated as the best Q over sampled candidate actions
+        (reference bcq.py get_state_value)."""
+        cfg = self.algo_config
+        n_samples = int(cfg.critic.num_action_samples_rollout)
+        obs = device_process_obs({k: jnp.asarray(v) for k, v in obs_dict.items()})
+        b = next(iter(obs.values())).shape[0]
+        self._init_rng, key = jax.random.split(self._init_rng)
+        tiled, cand = self._sample_actions(
+            self.state.params["action_sampler"],
+            self.state.aux["action_sampler"], obs, key, n_samples,
+        )
+        q = self.nets["critic0"].apply(
+            {"params": self.state.params["critic0"], **self.state.aux["critic0"]},
+            tiled, cand,
+        ).reshape(b, n_samples)
+        return jnp.max(q, axis=1, keepdims=True)
+
+    def get_state_action_value(self, obs_dict, actions, goal_dict=None):
+        obs = device_process_obs({k: jnp.asarray(v) for k, v in obs_dict.items()})
+        return self.nets["critic0"].apply(
+            {"params": self.state.params["critic0"], **self.state.aux["critic0"]},
+            obs, jnp.asarray(actions),
+        )
+
     def get_action(self, obs_dict, goal_dict=None):
         """Sample candidates, pick argmax-Q (reference bcq.py get_action)."""
         cfg = self.algo_config

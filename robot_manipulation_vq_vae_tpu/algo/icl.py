@@ -100,6 +100,25 @@ def algo_config_to_class_gmm_paper(algo_config):
     return ICLTransformer_GMM, {}
 
 
+
+def _device_batch(batch):
+    """Convert a processed numpy batch to device arrays (obs/goal/actions)."""
+    out = {
+        "obs": {k: jnp.asarray(v) for k, v in batch["obs"].items()},
+        "actions": jnp.asarray(batch["actions"]),
+    }
+    if batch.get("goal_obs"):
+        out["goal_obs"] = {
+            k: jnp.asarray(v) for k, v in batch["goal_obs"].items()
+        }
+    return out
+
+
+def _goal_of(batch):
+    if "goal_obs" in batch and batch["goal_obs"]:
+        return device_process_obs(batch["goal_obs"])
+    return None
+
 def _encoder_kwargs(obs_config):
     return ObsUtils.obs_encoder_kwargs_from_config(obs_config.encoder)
 
@@ -135,7 +154,7 @@ class ICL(PolicyAlgo):
         )
         return {
             "policy": self.nets["policy"].init(
-                {"params": rng}, obs, train=False
+                {"params": rng}, obs, goal_dict=_goal_of(batch), train=False
             )
         }
 
@@ -176,7 +195,8 @@ class ICL(PolicyAlgo):
                 variables = {"params": params["policy"], **state.aux["policy"]}
                 mutable = list(state.aux["policy"].keys())
                 acts, muts = policy.apply(
-                    variables, obs, train=not validate,
+                    variables, obs, goal_dict=_goal_of(batch),
+                    train=not validate,
                     mutable=mutable,
                     rngs={"dropout": r1, "randomizer": r2},
                 )
@@ -217,10 +237,7 @@ class ICL(PolicyAlgo):
         return jax.jit(step, static_argnums=2)
 
     def train_on_batch(self, batch, epoch, validate=False):
-        batch = {
-            "obs": {k: jnp.asarray(v) for k, v in batch["obs"].items()},
-            "actions": jnp.asarray(batch["actions"]),
-        }
+        batch = _device_batch(batch)
         self.ensure_state(batch)
         if self._train_step_jit is None:
             self._train_step_jit = self._build_train_step()
@@ -236,9 +253,15 @@ class ICL(PolicyAlgo):
     def get_action(self, obs_dict, goal_dict=None):
         assert self.state is not None
         obs = device_process_obs({k: jnp.asarray(v) for k, v in obs_dict.items()})
+        if goal_dict is not None:
+            goal_dict = device_process_obs(
+                {k: jnp.asarray(v) for k, v in goal_dict.items()}
+            )
         variables = {"params": self.state.params["policy"],
                      **self.state.aux["policy"]}
-        return self.nets["policy"].apply(variables, obs, train=False)
+        return self.nets["policy"].apply(
+            variables, obs, goal_dict=goal_dict, train=False
+        )
 
 
 class ICLGaussian(ICL):
@@ -271,7 +294,8 @@ class ICLGaussian(ICL):
                 variables = {"params": params["policy"], **state.aux["policy"]}
                 mutable = list(state.aux["policy"].keys())
                 dist, muts = policy.apply(
-                    variables, obs, train=not validate, mutable=mutable,
+                    variables, obs, goal_dict=_goal_of(batch),
+                    train=not validate, mutable=mutable,
                     rngs={"dropout": r1, "randomizer": r2},
                 )
                 lp = dist.log_prob(batch["actions"])
@@ -408,7 +432,8 @@ class ICLRNN_GMM(ICLRNN):
                 variables = {"params": params["policy"], **state.aux["policy"]}
                 mutable = list(state.aux["policy"].keys())
                 dist, muts = policy.apply(
-                    variables, obs, train=not validate, mutable=mutable,
+                    variables, obs, goal_dict=_goal_of(batch),
+                    train=not validate, mutable=mutable,
                     rngs={"dropout": r1, "randomizer": r2},
                 )
                 lp = dist.log_prob(batch["actions"])
@@ -683,10 +708,7 @@ class ICLTransformerHVQVAE(ICLTransformer):
             )
 
     def train_on_batch(self, batch, epoch, validate=False):
-        batch = {
-            "obs": {k: jnp.asarray(v) for k, v in batch["obs"].items()},
-            "actions": jnp.asarray(batch["actions"]),
-        }
+        batch = _device_batch(batch)
         self.ensure_state(batch)
         if self._train_step_jit is None:
             self._train_step_jit = self._build_train_step()
@@ -923,10 +945,7 @@ class ICLTransformer_GMM(ICLTransformer):
         return jax.jit(step, static_argnums=2)
 
     def train_on_batch(self, batch, epoch, validate=False):
-        batch = {
-            "obs": {k: jnp.asarray(v) for k, v in batch["obs"].items()},
-            "actions": jnp.asarray(batch["actions"]),
-        }
+        batch = _device_batch(batch)
         self.ensure_state(batch)
         if self._train_step_jit is None:
             self._train_step_jit = self._build_train_step()

@@ -11,3 +11,6 @@ from robot_manipulation_vq_vae_tpu.config.iql_config import IQLConfig
 from robot_manipulation_vq_vae_tpu.config.td3_bc_config import TD3_BCConfig
 from robot_manipulation_vq_vae_tpu.config.bcq_config import BCQConfig
 from robot_manipulation_vq_vae_tpu.config.cql_config import CQLConfig
+from robot_manipulation_vq_vae_tpu.config.gl_config import GLConfig
+from robot_manipulation_vq_vae_tpu.config.hbc_config import HBCConfig
+from robot_manipulation_vq_vae_tpu.config.iris_config import IRISConfig

@@ -199,12 +199,21 @@ class RNNActorNetwork(nn.Module):
             output_dim=self.ac_dim, layer_dims=tuple(self.mlp_layer_dims)
         )
 
-    def __call__(self, obs_dict, goal_dict=None, train=False,
-                 initial_state=None, return_state=False):
+    def _fold_inputs(self, obs_dict, goal_dict):
         kwargs = {"obs": obs_dict}
         if self.goal_shapes:
+            assert goal_dict is not None
+            # tile per-episode goals over the time axis before folding
+            mod = next(iter(obs_dict))
+            goal_dict = TensorUtils.unsqueeze_expand_at(
+                goal_dict, size=obs_dict[mod].shape[1], dim=1
+            )
             kwargs["goal"] = goal_dict
-        folded, b, t = TensorUtils.fold_time(kwargs)
+        return TensorUtils.fold_time(kwargs)
+
+    def __call__(self, obs_dict, goal_dict=None, train=False,
+                 initial_state=None, return_state=False):
+        folded, b, t = self._fold_inputs(obs_dict, goal_dict)
         flat = self.encoder(train=train, **folded)
         seq = flat.reshape(b, t, -1)
         hidden, state = self.rnn(seq, initial_state=initial_state)
@@ -241,10 +250,7 @@ class RNNGMMActorNetwork(RNNActorNetwork):
 
     def __call__(self, obs_dict, goal_dict=None, train=False,
                  initial_state=None, return_state=False):
-        kwargs = {"obs": obs_dict}
-        if self.goal_shapes:
-            kwargs["goal"] = goal_dict
-        folded, b, t = TensorUtils.fold_time(kwargs)
+        folded, b, t = self._fold_inputs(obs_dict, goal_dict)
         flat = self.encoder(train=train, **folded)
         seq = flat.reshape(b, t, -1)
         hidden, state = self.rnn(seq, initial_state=initial_state)
