@@ -48,3 +48,7 @@ from robot_manipulation_vq_vae_tpu.algo import gl, hbc, iris  # noqa: F401
 from robot_manipulation_vq_vae_tpu.algo.gl import GL, GL_VAE, ValuePlanner  # noqa: F401
 from robot_manipulation_vq_vae_tpu.algo.hbc import HBC  # noqa: F401
 from robot_manipulation_vq_vae_tpu.algo.iris import IRIS  # noqa: F401
+
+from robot_manipulation_vq_vae_tpu.algo import diffusion_policy, act  # noqa: F401
+from robot_manipulation_vq_vae_tpu.algo.diffusion_policy import DiffusionPolicyUNet  # noqa: F401
+from robot_manipulation_vq_vae_tpu.algo.act import ACT  # noqa: F401

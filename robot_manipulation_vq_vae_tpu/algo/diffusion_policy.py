@@ -1,0 +1,250 @@
+"""Diffusion Policy (UNet) - reference ``robomimic/algo/diffusion_policy.py``.
+
+DDPM/DDIM diffusion over action-sequence chunks, conditioned on the last
+``observation_horizon`` encoded observations; receding-horizon execution
+(predict Tp steps, execute Ta). The denoiser is a FiLM-conditioned 1-D UNet
+(``models/diffusion_nets.py``); EMA weights are kept in the state and used
+for inference, matching the reference's EMAModel usage.
+"""
+
+from collections import OrderedDict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robot_manipulation_vq_vae_tpu.algo.algo import (
+    AlgoState,
+    PolicyAlgo,
+    device_process_obs,
+    register_algo_factory_func,
+)
+from robot_manipulation_vq_vae_tpu.algo.icl import _encoder_kwargs
+from robot_manipulation_vq_vae_tpu.models.diffusion_nets import (
+    ConditionalUnet1D,
+    DiffusionSchedule,
+)
+from robot_manipulation_vq_vae_tpu.models.obs_nets import (
+    ObservationGroupEncoder,
+    group_encoder_output_dim,
+    group_shapes_spec,
+)
+
+
+@register_algo_factory_func("diffusion_policy")
+def algo_config_to_class(algo_config):
+    assert algo_config.unet.enabled
+    return DiffusionPolicyUNet, {}
+
+
+class DiffusionPolicyUNet(PolicyAlgo):
+    def _create_networks(self):
+        cfg = self.algo_config
+        self.To = cfg.horizon.observation_horizon
+        self.Ta = cfg.horizon.action_horizon
+        self.Tp = cfg.horizon.prediction_horizon
+
+        groups = {"obs": dict(self.obs_shapes)}
+        self._group_spec = group_shapes_spec(groups)
+        self.nets["obs_encoder"] = ObservationGroupEncoder(
+            observation_group_shapes=self._group_spec,
+            encoder_kwargs=_encoder_kwargs(self.obs_config),
+        )
+        self.obs_feat_dim = group_encoder_output_dim(
+            self._group_spec, _encoder_kwargs(self.obs_config)
+        )
+        self.nets["policy"] = ConditionalUnet1D(
+            action_dim=self.ac_dim,
+            down_dims=tuple(cfg.unet.down_dims),
+            diffusion_step_embed_dim=cfg.unet.diffusion_step_embed_dim,
+            kernel_size=cfg.unet.kernel_size,
+            n_groups=cfg.unet.n_groups,
+        )
+        if cfg.ddpm.enabled:
+            self.schedule = DiffusionSchedule(cfg.ddpm.num_train_timesteps)
+            self.num_inference_steps = cfg.ddpm.num_inference_timesteps
+            self.use_ddim = False
+        else:
+            assert cfg.ddim.enabled
+            self.schedule = DiffusionSchedule(cfg.ddim.num_train_timesteps)
+            self.num_inference_steps = cfg.ddim.num_inference_timesteps
+            self.use_ddim = True
+        self.ema_enabled = cfg.ema.enabled
+        self.ema_power = float(cfg.ema.get("power", 0.75))
+
+    def _create_optimizers(self):
+        from robot_manipulation_vq_vae_tpu.utils import optim_utils as OptimUtils
+
+        mg = self.global_config.train.get("max_grad_norm", None)
+        opt = OptimUtils.optimizer_from_optim_params(
+            self.optim_params["policy"], max_grad_norm=mg
+        )
+        self.optimizers["policy"] = opt
+        self.optimizers["obs_encoder"] = opt
+
+    def process_batch_for_training(self, batch):
+        """obs[:, :To], actions[:, :Tp] (reference diffusion_policy.py:139-178)."""
+        return {
+            "obs": {
+                k: np.asarray(v)[:, : self.To]
+                for k, v in batch["obs"].items()
+            },
+            "goal_obs": batch.get("goal_obs", None),
+            "actions": np.asarray(batch["actions"])[:, : self.Tp],
+        }
+
+    def _init_variables(self, rng, batch):
+        r1, r2 = jax.random.split(rng)
+        obs = device_process_obs(
+            {k: jnp.asarray(v) for k, v in batch["obs"].items()}
+        )
+        flat = {k: v.reshape((-1,) + v.shape[2:]) for k, v in obs.items()}
+        enc_vars = self.nets["obs_encoder"].init({"params": r1}, obs=flat)
+        b = jnp.asarray(batch["actions"]).shape[0]
+        cond = jnp.zeros((b, self.To * self.obs_feat_dim))
+        pol_vars = self.nets["policy"].init(
+            {"params": r2}, jnp.asarray(batch["actions"]),
+            jnp.zeros((b,), jnp.int32), cond,
+        )
+        out = {"obs_encoder": enc_vars, "policy": pol_vars}
+        if self.ema_enabled:
+            out["policy_ema"] = jax.tree_util.tree_map(jnp.array, pol_vars)
+            out["obs_encoder_ema"] = jax.tree_util.tree_map(jnp.array, enc_vars)
+        return out
+
+    def _encode_cond(self, params, aux, obs, train, rngs=None):
+        b, to = next(iter(obs.values())).shape[:2]
+        flat = {k: v.reshape((-1,) + v.shape[2:]) for k, v in obs.items()}
+        feats = self.nets["obs_encoder"].apply(
+            {"params": params, **aux}, obs=flat, train=train,
+            rngs=rngs or {},
+        )
+        return feats.reshape(b, -1)  # [B, To*D]
+
+    def _build_train_step(self):
+        policy = self.nets["policy"]
+        opts = self.optimizers
+        schedule = self.schedule
+        num_t = schedule.num_train_timesteps
+        ema_enabled = self.ema_enabled
+        import optax
+
+        def step(state, batch, validate):
+            rng, r_t, r_n, r_d, r_r = jax.random.split(state.rng, 5)
+            actions = batch["actions"]
+            b = actions.shape[0]
+
+            def loss_fn(params):
+                obs = device_process_obs(batch["obs"])
+                cond = self._encode_cond(
+                    params["obs_encoder"], state.aux["obs_encoder"], obs,
+                    train=not validate,
+                    rngs={"dropout": r_d, "randomizer": r_r},
+                )
+                t = jax.random.randint(r_t, (b,), 0, num_t)
+                noise = jax.random.normal(r_n, actions.shape)
+                noisy = schedule.add_noise(actions, noise, t)
+                eps = policy.apply(
+                    {"params": params["policy"], **state.aux["policy"]},
+                    noisy, t, cond,
+                )
+                return jnp.mean((eps - noise) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            metrics = OrderedDict(l2_loss=loss)
+            new_params = dict(state.params)
+            new_opts = dict(state.opt_states)
+            for name in ("policy", "obs_encoder"):
+                updates, o = opts[name].update(
+                    grads[name], state.opt_states[name], state.params[name]
+                )
+                new_params[name] = optax.apply_updates(
+                    state.params[name], updates
+                )
+                new_opts[name] = o
+            if ema_enabled:
+                decay = jnp.minimum(
+                    (1.0 + state.step) / (10.0 + state.step), 0.9999
+                )
+                for name in ("policy", "obs_encoder"):
+                    new_params[f"{name}_ema"] = jax.tree_util.tree_map(
+                        lambda e, p: decay * e + (1 - decay) * p,
+                        state.params[f"{name}_ema"], new_params[name],
+                    )
+
+            def choose(new, old):
+                return jax.tree_util.tree_map(
+                    lambda a, c: jnp.where(validate, c, a), new, old
+                )
+
+            new_params = choose(new_params, state.params)
+            new_opts = choose(new_opts, state.opt_states)
+            return (
+                AlgoState(
+                    params=new_params, aux=state.aux, opt_states=new_opts,
+                    step=state.step + 1, rng=rng,
+                ),
+                metrics,
+            )
+
+        return jax.jit(step, static_argnums=2)
+
+    def train_on_batch(self, batch, epoch, validate=False):
+        batch = {
+            "obs": {k: jnp.asarray(v) for k, v in batch["obs"].items()},
+            "actions": jnp.asarray(batch["actions"]),
+        }
+        self.ensure_state(batch)
+        if self._train_step_jit is None:
+            self._train_step_jit = self._build_train_step()
+        self.state, metrics = self._train_step_jit(self.state, batch, validate)
+        return {"losses": metrics}
+
+    def log_info(self, info):
+        return OrderedDict(Loss=float(info["losses"]["l2_loss"]))
+
+    def _sample(self, rng, cond):
+        """Iterative denoising from pure noise (DDPM or DDIM)."""
+        policy = self.nets["policy"]
+        name = "policy_ema" if self.ema_enabled else "policy"
+        pol_params = self.state.params[name]
+        b = cond.shape[0]
+        x = jax.random.normal(rng, (b, self.Tp, self.ac_dim))
+        sched = self.schedule
+        n_inf = self.num_inference_steps
+        n_train = sched.num_train_timesteps
+
+        if self.use_ddim:
+            ts = jnp.linspace(n_train - 1, 0, n_inf).astype(jnp.int32)
+            for i in range(n_inf):
+                t = ts[i]
+                t_prev = ts[i + 1] if i + 1 < n_inf else -1
+                eps = policy.apply(
+                    {"params": pol_params, **self.state.aux["policy"]},
+                    x, jnp.full((b,), t), cond,
+                )
+                x = sched.ddim_step(x, eps, t, t_prev)
+        else:
+            for t in range(n_train - 1, -1, -1):
+                rng, sub = jax.random.split(rng)
+                eps = policy.apply(
+                    {"params": pol_params, **self.state.aux["policy"]},
+                    x, jnp.full((b,), t), cond,
+                )
+                x = sched.ddpm_step(sub, x, eps, t)
+        return x
+
+    def get_action(self, obs_dict, goal_dict=None):
+        obs = device_process_obs(
+            {k: jnp.asarray(v)[:, -self.To :] for k, v in obs_dict.items()}
+        )
+        enc_name = "obs_encoder_ema" if self.ema_enabled else "obs_encoder"
+        cond = self._encode_cond(
+            self.state.params[enc_name], self.state.aux["obs_encoder"], obs,
+            train=False,
+        )
+        self._init_rng, key = jax.random.split(self._init_rng)
+        seq = self._sample(key, cond)  # [B, Tp, A]
+        # receding horizon: return the first action after the obs window
+        start = self.To - 1
+        return seq[:, start]

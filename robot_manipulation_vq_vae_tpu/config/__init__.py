@@ -14,3 +14,5 @@ from robot_manipulation_vq_vae_tpu.config.cql_config import CQLConfig
 from robot_manipulation_vq_vae_tpu.config.gl_config import GLConfig
 from robot_manipulation_vq_vae_tpu.config.hbc_config import HBCConfig
 from robot_manipulation_vq_vae_tpu.config.iris_config import IRISConfig
+from robot_manipulation_vq_vae_tpu.config.diffusion_policy_config import DiffusionPolicyConfig
+from robot_manipulation_vq_vae_tpu.config.act_config import ACTConfig
