@@ -52,3 +52,6 @@ from robot_manipulation_vq_vae_tpu.algo.iris import IRIS  # noqa: F401
 from robot_manipulation_vq_vae_tpu.algo import diffusion_policy, act  # noqa: F401
 from robot_manipulation_vq_vae_tpu.algo.diffusion_policy import DiffusionPolicyUNet  # noqa: F401
 from robot_manipulation_vq_vae_tpu.algo.act import ACT  # noqa: F401
+
+from robot_manipulation_vq_vae_tpu.algo import icl_mamba  # noqa: F401
+from robot_manipulation_vq_vae_tpu.algo.icl_mamba import ICLMambaHVQVAE, ICLMamba_GMM  # noqa: F401

@@ -30,7 +30,10 @@ from robot_manipulation_vq_vae_tpu.models.tokenizers.lipvq import LipVQVAE
 from robot_manipulation_vq_vae_tpu.models.tokenizers.bin_action import (
     AdaptiveBinActionEmbedding,
 )
-from robot_manipulation_vq_vae_tpu.models.tokenizers.ln_act import LNActEncoder
+from robot_manipulation_vq_vae_tpu.models.tokenizers.ln_act import (
+    LNActEncoder,
+    MambaBlock,
+)
 from robot_manipulation_vq_vae_tpu.models.tokenizers.default_encoder import (
     DefaultActionEncoder,
 )
@@ -419,6 +422,27 @@ class ICLObservationGroupEncoder(nn.Module):
         ]
 
 
+
+
+class Mamba_Backbone(nn.Module):
+    """Stack of Mamba selective-SSM blocks + output LayerNorm - the
+    state-space twin of GPT_Backbone (reference ``ICL_MIMO_Mamba``
+    obs_nets.py:2637). Inherently causal; sequence mixing runs through
+    ``lax.associative_scan`` (TPU-parallel over T)."""
+
+    embed_dim: int
+    num_layers: int = 6
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        for i in range(self.num_layers):
+            h = nn.LayerNorm(name=f"ln{i}")(x)
+            x = x + MambaBlock(
+                d_model=self.embed_dim, d_state=16, d_conv=4, expand=2,
+                name=f"mamba{i}",
+            )(h)
+        return nn.LayerNorm(name="output_ln")(x)
+
 class _TransformerEmbedding(nn.Module):
     """Shared input embedding: Dense + positional + LN + dropout
     (reference ``input_embedding`` obs_nets.py:2527-2545)."""
@@ -537,6 +561,7 @@ class ICL_MIMO_Transformer(nn.Module):
     transformer_ln_act_enabled: bool = False
     transformer_nn_parameter_for_timesteps: bool = False
     action_input_shape: int = 12
+    backbone_type: str = "gpt"  # "gpt" | "mamba" (ICL_MIMO_Mamba)
     encoder_kwargs: Any = None
 
     def setup(self):
@@ -558,17 +583,24 @@ class ICL_MIMO_Transformer(nn.Module):
             sinusoidal=self.transformer_sinusoidal_embedding,
             nn_parameter_for_timesteps=self.transformer_nn_parameter_for_timesteps,
         )
-        self.transformer = GPT_Backbone(
-            embed_dim=self.transformer_embed_dim,
-            num_layers=self.transformer_num_layers,
-            num_heads=self.transformer_num_heads,
-            # x3: interleaved [ctx_obs, ctx_act] pairs + query obs (:2455-2465)
-            context_length=self.transformer_context_length * 3,
-            causal=self.transformer_causal,
-            attn_dropout=self.transformer_attn_dropout,
-            block_output_dropout=self.transformer_block_output_dropout,
-            activation=self.transformer_activation,
-        )
+        if self.backbone_type == "mamba":
+            self.transformer = Mamba_Backbone(
+                embed_dim=self.transformer_embed_dim,
+                num_layers=self.transformer_num_layers,
+            )
+        else:
+            self.transformer = GPT_Backbone(
+                embed_dim=self.transformer_embed_dim,
+                num_layers=self.transformer_num_layers,
+                num_heads=self.transformer_num_heads,
+                # x3: interleaved [ctx_obs, ctx_act] pairs + query obs
+                # (:2455-2465)
+                context_length=self.transformer_context_length * 3,
+                causal=self.transformer_causal,
+                attn_dropout=self.transformer_attn_dropout,
+                block_output_dropout=self.transformer_block_output_dropout,
+                activation=self.transformer_activation,
+            )
         self.decoder = ObservationDecoder(decode_shapes=self.output_shapes)
 
     def __call__(self, train=False, **inputs):

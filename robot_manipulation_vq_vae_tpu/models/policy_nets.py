@@ -382,6 +382,7 @@ class ICLTransformerActorNetwork(nn.Module):
     transformer_vq_vae_enabled: bool = False
     transformer_ln_act_enabled: bool = False
     action_input_shape: int = 12
+    backbone_type: str = "gpt"
     goal_shapes: Any = None
     encoder_kwargs: Any = None
 
@@ -410,6 +411,7 @@ class ICLTransformerActorNetwork(nn.Module):
             transformer_vq_vae_enabled=self.transformer_vq_vae_enabled,
             transformer_ln_act_enabled=self.transformer_ln_act_enabled,
             action_input_shape=self.action_input_shape,
+            backbone_type=self.backbone_type,
             encoder_kwargs=self.encoder_kwargs,
         )
 

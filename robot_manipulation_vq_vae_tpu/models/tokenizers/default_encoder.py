@@ -72,7 +72,12 @@ class TorchTransformerEncoderLayer(nn.Module):
     def __call__(self, x, deterministic=True):
         # x: [S, D] unbatched sequence (matching the reference's usage)
         s, d = x.shape
-        nh = self.nhead
+        # NOTE: the reference instantiates nn.TransformerEncoderLayer with
+        # nhead=8 regardless of d_model (obs_nets.py:1247-1252), which torch
+        # rejects whenever the obs-feature dim is not divisible by 8 - the
+        # default modality is unreachable in the shipped configs. We fall
+        # back to single-head attention in that case instead of crashing.
+        nh = self.nhead if d % self.nhead == 0 else 1
         dh = d // nh
         qkv_q = nn.Dense(d, name="q")(x)
         qkv_k = nn.Dense(d, name="k")(x)
