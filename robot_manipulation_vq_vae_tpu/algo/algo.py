@@ -267,6 +267,65 @@ class PolicyAlgo(Algo):
     def get_action(self, obs_dict, goal_dict=None):
         raise NotImplementedError
 
+    def _predict_actions_for_mse(self, batch):
+        """Predicted actions for an MSE-eval batch (subclasses may override
+        for sequence predictions). Default: get_action over the batch obs,
+        threading a context batch for ICL-style policies."""
+        import inspect
+
+        sig = inspect.signature(self.get_action)
+        if "context_batch" in sig.parameters:
+            ctx = {"actions": batch["actions"], "obs": batch["obs"]}
+            return np.asarray(
+                self.get_action(batch["obs"], context_batch=ctx)
+            )
+        return np.asarray(self.get_action(batch["obs"]))
+
+    def compute_mse_visualize(self, trainset, validset, num_samples,
+                              savedir=None):
+        """Action-prediction MSE + accuracy@{1e-3,1e-4,1e-5}, optionally with
+        prediction plots (reference algo.py:454-554)."""
+        from robot_manipulation_vq_vae_tpu.data.loader import collate
+        from robot_manipulation_vq_vae_tpu.utils import vis_utils as VisUtils
+
+        self.set_eval()
+        random_state = np.random.RandomState(0)
+        mapping = {"Train": trainset}
+        if validset is not None:
+            mapping["Valid"] = validset
+
+        mse_log, vis_log = {}, {}
+        for key, dataset in mapping.items():
+            idx = random_state.choice(
+                len(dataset), min(len(dataset), num_samples), replace=False
+            )
+            samples = [dataset[int(i)] for i in idx]
+            raw = collate(samples)
+            batch = self.process_batch_for_training(raw)
+            actual = np.asarray(batch["actions"])
+            pred = self._predict_actions_for_mse(batch)
+            if pred.shape != actual.shape:  # single-step prediction vs window
+                actual = actual.reshape(pred.shape)
+            mse = (pred - actual) ** 2
+            mse_log[f"{key}/action_mse_error"] = float(np.mean(mse))
+            for thr in np.logspace(-3, -5, num=3).tolist():
+                mse_log[f"{key}/action_accuracy@{thr}"] = float(
+                    np.mean(mse < thr)
+                )
+            if savedir is not None:
+                flat_actual = actual.reshape(-1, actual.shape[-1])
+                flat_pred = pred.reshape(-1, pred.shape[-1])
+                save_path = f"{savedir}/{key.lower()}_pred.png"
+                VisUtils.make_model_prediction_plot(
+                    hdf5_path=getattr(dataset, "hdf5_path", ""),
+                    save_path=save_path,
+                    action_names=[f"a{i}" for i in range(flat_actual.shape[-1])],
+                    actual_actions=flat_actual,
+                    predicted_actions=flat_pred,
+                )
+                vis_log[f"{key.lower()}_pred"] = save_path
+        return mse_log, vis_log
+
 
 class ValueAlgo(Algo):
     def get_state_value(self, obs_dict, goal_dict=None):
