@@ -266,12 +266,21 @@ class SequenceDataset:
             assert seq_end_pad == 0
 
         seq = {}
+        window = num_frames_to_stack + seq_length
+        start = np.asarray([index_in_demo - num_frames_to_stack], np.int64)
         for k in keys:
             data = self.get_dataset_for_ep(demo_id, k)
-            seq[k] = np.asarray(data[seq_begin_index:seq_end_index])
-        seq = TensorUtils.pad_sequence(
-            seq, padding=(seq_begin_pad, seq_end_pad), pad_same=True
-        )
+            if isinstance(data, np.ndarray):
+                # native C++ edge-padded gather (single memcpy loop) on the
+                # in-memory cache path
+                from robot_manipulation_vq_vae_tpu import native
+
+                seq[k] = native.gather_windows(data, start, window)[0]
+            else:
+                arr = np.asarray(data[seq_begin_index:seq_end_index])
+                seq[k] = TensorUtils.pad_sequence_single(
+                    arr, (seq_begin_pad, seq_end_pad), pad_same=True
+                )
         pad_mask = np.array(
             [0] * seq_begin_pad
             + [1] * (seq_end_index - seq_begin_index)

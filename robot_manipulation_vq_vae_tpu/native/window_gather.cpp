@@ -1,0 +1,74 @@
+// Native host-side data-path kernels.
+//
+// The hot loop of the HDF5 loader is, per batch sample, a windowed gather
+// with edge padding at demo boundaries (reference SequenceDataset
+// get_sequence_from_demo, dataset.py:588-632) followed by stacking into a
+// contiguous batch. Doing this per-sample in Python costs one slice + pad +
+// copy per (sample, key); these kernels do the whole batch for one key in a
+// single call, releasing the GIL-equivalent (pure C, no Python objects), so
+// loader threads scale.
+//
+// Layout: src is a [T, row_bytes] contiguous demo array; out is
+// [N, W, row_bytes]. For sample n the window covers demo rows
+// [start[n], start[n] + W) clamped to [0, T), with out-of-range rows
+// replaced by the edge row (pad_same semantics).
+//
+// Build: g++ -O3 -march=native -shared -fPIC window_gather.cpp -o libwindow_gather.so
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// Batched edge-padded window gather (single source demo).
+//   src:       [t_len, row_bytes] bytes
+//   out:       [n, window, row_bytes] bytes
+//   starts:    [n] window start indices (may be negative / past the end)
+void gather_windows(const uint8_t* src, uint8_t* out,
+                    const int64_t* starts, int64_t n, int64_t window,
+                    int64_t t_len, int64_t row_bytes) {
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t start = starts[i];
+    uint8_t* dst = out + i * window * row_bytes;
+    for (int64_t w = 0; w < window; ++w) {
+      int64_t t = start + w;
+      if (t < 0) t = 0;
+      if (t >= t_len) t = t_len - 1;
+      std::memcpy(dst + w * row_bytes, src + t * row_bytes, row_bytes);
+    }
+  }
+}
+
+// Multi-demo variant: each sample selects its own source demo.
+//   srcs:      [n] pointers to [t_lens[i], row_bytes] demo arrays
+void gather_windows_multi(const uint8_t** srcs, const int64_t* t_lens,
+                          uint8_t* out, const int64_t* starts, int64_t n,
+                          int64_t window, int64_t row_bytes) {
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* src = srcs[i];
+    const int64_t t_len = t_lens[i];
+    const int64_t start = starts[i];
+    uint8_t* dst = out + i * window * row_bytes;
+    for (int64_t w = 0; w < window; ++w) {
+      int64_t t = start + w;
+      if (t < 0) t = 0;
+      if (t >= t_len) t = t_len - 1;
+      std::memcpy(dst + w * row_bytes, src + t * row_bytes, row_bytes);
+    }
+  }
+}
+
+// Pad-mask fill: mask[i, w] = 1 iff the window row is in-range.
+void window_pad_masks(uint8_t* mask, const int64_t* starts,
+                      const int64_t* t_lens, int64_t n, int64_t window) {
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t start = starts[i];
+    const int64_t t_len = t_lens[i];
+    for (int64_t w = 0; w < window; ++w) {
+      const int64_t t = start + w;
+      mask[i * window + w] = (t >= 0 && t < t_len) ? 1 : 0;
+    }
+  }
+}
+
+}  // extern "C"
