@@ -55,3 +55,6 @@ from robot_manipulation_vq_vae_tpu.algo.act import ACT  # noqa: F401
 
 from robot_manipulation_vq_vae_tpu.algo import icl_mamba  # noqa: F401
 from robot_manipulation_vq_vae_tpu.algo.icl_mamba import ICLMambaHVQVAE, ICLMamba_GMM  # noqa: F401
+
+from robot_manipulation_vq_vae_tpu.algo import mcr  # noqa: F401
+from robot_manipulation_vq_vae_tpu.algo.mcr import MCR  # noqa: F401

@@ -17,3 +17,4 @@ from robot_manipulation_vq_vae_tpu.config.iris_config import IRISConfig
 from robot_manipulation_vq_vae_tpu.config.diffusion_policy_config import DiffusionPolicyConfig
 from robot_manipulation_vq_vae_tpu.config.act_config import ACTConfig
 from robot_manipulation_vq_vae_tpu.config.icl_mamba_config import ICLMambaConfig
+from robot_manipulation_vq_vae_tpu.config.mcr_config import MCRConfig

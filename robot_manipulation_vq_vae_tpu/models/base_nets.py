@@ -125,8 +125,53 @@ class _ResNet18Stem(nn.Module):
         return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
 
-_RESNET18_PLAN = [(64, 1), (64, 1), (128, 2), (128, 1), (256, 2), (256, 1),
-                  (512, 2), (512, 1)]
+def _resnet_plan(blocks_per_stage):
+    """Flatten a torchvision-style stage spec into (features, stride) pairs."""
+    plan = []
+    for stage, (feat, n_blocks) in enumerate(
+        zip((64, 128, 256, 512), blocks_per_stage)
+    ):
+        for b in range(n_blocks):
+            stride = 2 if (stage > 0 and b == 0) else 1
+            plan.append((feat, stride))
+    return plan
+
+
+_RESNET18_PLAN = _resnet_plan((2, 2, 2, 2))
+_RESNET34_PLAN = _resnet_plan((3, 4, 6, 3))
+
+
+class Bottleneck(nn.Module):
+    """torchvision Bottleneck (1x1 -> 3x3 -> 1x1 with 4x expansion)."""
+
+    features: int
+    stride: int = 1
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        out_feat = self.features * self.expansion
+        identity = x
+        h = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
+        h = nn.BatchNorm(use_running_average=not train, name="bn1")(h)
+        h = nn.relu(h)
+        h = nn.Conv(
+            self.features, (3, 3), strides=(self.stride, self.stride),
+            padding=((1, 1), (1, 1)), use_bias=False, name="conv2",
+        )(h)
+        h = nn.BatchNorm(use_running_average=not train, name="bn2")(h)
+        h = nn.relu(h)
+        h = nn.Conv(out_feat, (1, 1), use_bias=False, name="conv3")(h)
+        h = nn.BatchNorm(use_running_average=not train, name="bn3")(h)
+        if self.stride != 1 or x.shape[-1] != out_feat:
+            identity = nn.Conv(
+                out_feat, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, name="down_conv",
+            )(x)
+            identity = nn.BatchNorm(
+                use_running_average=not train, name="down_bn"
+            )(identity)
+        return nn.relu(h + identity)
 
 
 class ResNet18Conv(nn.Module):
@@ -191,6 +236,94 @@ class ResNet18ConvFiLM(nn.Module):
     def output_shape(input_shape):
         h, w, _ = input_shape
         return [int(math.ceil(h / 32.0)), int(math.ceil(w / 32.0)), 512]
+
+
+class ResNet34Conv(nn.Module):
+    """ResNet-34 trunk (reference ``ResNet34ConvFiLM`` family,
+    base_nets.py:748)."""
+
+    input_coord_conv: bool = False
+    pretrained: bool = False
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = _ResNet18Stem(coord_conv=self.input_coord_conv, name="stem")(x, train=train)
+        for i, (feat, stride) in enumerate(_RESNET34_PLAN):
+            x = BasicBlock(features=feat, stride=stride, name=f"block{i}")(
+                x, train=train
+            )
+        return x
+
+    @staticmethod
+    def output_shape(input_shape):
+        h, w, _ = input_shape
+        return [int(math.ceil(h / 32.0)), int(math.ceil(w / 32.0)), 512]
+
+
+class ResNet50Conv(nn.Module):
+    """ResNet-50 trunk (reference ``ResNet50ConvFiLM`` family,
+    base_nets.py:846; also the MCR pretrained encoder's architecture)."""
+
+    input_coord_conv: bool = False
+    pretrained: bool = False
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = _ResNet18Stem(coord_conv=self.input_coord_conv, name="stem")(x, train=train)
+        for i, (feat, stride) in enumerate(_resnet_plan((3, 4, 6, 3))):
+            x = Bottleneck(features=feat, stride=stride, name=f"block{i}")(
+                x, train=train
+            )
+        return x
+
+    @staticmethod
+    def output_shape(input_shape):
+        h, w, _ = input_shape
+        return [int(math.ceil(h / 32.0)), int(math.ceil(w / 32.0)), 2048]
+
+
+class ResNet34ConvFiLM(nn.Module):
+    """ResNet-34 with FiLM after every block (reference base_nets.py:748)."""
+
+    lang_emb_dim: int = 768
+    input_coord_conv: bool = False
+    pretrained: bool = False
+
+    @nn.compact
+    def __call__(self, x, lang_emb, train=False):
+        x = _ResNet18Stem(coord_conv=self.input_coord_conv, name="stem")(x, train=train)
+        for i, (feat, stride) in enumerate(_RESNET34_PLAN):
+            x = BasicBlock(features=feat, stride=stride, name=f"block{i}")(
+                x, train=train
+            )
+            x = FiLMLayer(channels=feat, name=f"film{i}")(x, lang_emb)
+        return x
+
+    @staticmethod
+    def output_shape(input_shape):
+        return ResNet34Conv.output_shape(input_shape)
+
+
+class ResNet50ConvFiLM(nn.Module):
+    """ResNet-50 with FiLM after every bottleneck (reference base_nets.py:846)."""
+
+    lang_emb_dim: int = 768
+    input_coord_conv: bool = False
+    pretrained: bool = False
+
+    @nn.compact
+    def __call__(self, x, lang_emb, train=False):
+        x = _ResNet18Stem(coord_conv=self.input_coord_conv, name="stem")(x, train=train)
+        for i, (feat, stride) in enumerate(_resnet_plan((3, 4, 6, 3))):
+            x = Bottleneck(features=feat, stride=stride, name=f"block{i}")(
+                x, train=train
+            )
+            x = FiLMLayer(channels=feat * 4, name=f"film{i}")(x, lang_emb)
+        return x
+
+    @staticmethod
+    def output_shape(input_shape):
+        return ResNet50Conv.output_shape(input_shape)
 
 
 def add_coord_channels(x):

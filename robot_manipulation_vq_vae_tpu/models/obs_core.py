@@ -29,9 +29,13 @@ _POOL_CLASSES = {
 _BACKBONE_CLASSES = {
     "ResNet18Conv": BaseNets.ResNet18Conv,
     "ResNet18ConvFiLM": BaseNets.ResNet18ConvFiLM,
+    "ResNet34Conv": BaseNets.ResNet34Conv,
+    "ResNet34ConvFiLM": BaseNets.ResNet34ConvFiLM,
+    "ResNet50Conv": BaseNets.ResNet50Conv,
+    "ResNet50ConvFiLM": BaseNets.ResNet50ConvFiLM,
 }
 
-_FILM_BACKBONES = {"ResNet18ConvFiLM"}
+_FILM_BACKBONES = {"ResNet18ConvFiLM", "ResNet34ConvFiLM", "ResNet50ConvFiLM"}
 
 
 def _filter_kwargs(cls, kwargs):

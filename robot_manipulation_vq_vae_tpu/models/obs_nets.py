@@ -101,7 +101,8 @@ def _core_output_shape(core_class, core_kwargs, input_shape):
         if fd is not None:
             return [fd]
         backbone = core_kwargs.get("backbone_class", "ResNet18Conv")
-        feat = BaseNets.ResNet18Conv.output_shape(input_shape)  # all rn18 trunks
+        bcls = ObsCore._BACKBONE_CLASSES.get(backbone, BaseNets.ResNet18Conv)
+        feat = bcls.output_shape(input_shape)
         pool_class = core_kwargs.get("pool_class", "SpatialSoftmax")
         if pool_class == "SpatialSoftmax":
             num_kp = (core_kwargs.get("pool_kwargs") or {}).get("num_kp", 32)
