@@ -22,6 +22,7 @@ from robot_manipulation_vq_vae_tpu.algo.icl import (  # noqa: F401
     ICLRNN,
     ICLRNN_GMM,
     ICLTransformer,
+    ICLVAE,
     ICLTransformerHVQVAE,
     ICLTransformer_GMM,
 )

@@ -30,6 +30,15 @@ from robot_manipulation_vq_vae_tpu.utils import loss_utils as LossUtils
 
 @register_algo_factory_func("bcq")
 def algo_config_to_class(algo_config):
+    """Reference bcq.py factory: distributional critic -> BCQ_Distributional,
+    GMM sampler -> BCQ_GMM, else plain BCQ."""
+    if algo_config.critic.distributional.enabled:
+        return BCQ_Distributional, {}
+    if (
+        "gmm" in algo_config.action_sampler
+        and algo_config.action_sampler.get("gmm", {}).get("enabled", False)
+    ):
+        return BCQ_GMM, {}
     return BCQ, {}
 
 
@@ -290,3 +299,235 @@ class BCQ(PolicyAlgo):
         best = jnp.argmax(q, axis=1)
         cand = cand.reshape(b, n_samples, -1)
         return jnp.take_along_axis(cand, best[:, None, None], axis=1)[:, 0]
+
+
+class BCQ_GMM(BCQ):
+    """BCQ with a GMM action sampler instead of the cVAE
+    (reference ``BCQ_GMM``): the sampler trains with NLL and candidate
+    actions are GMM samples."""
+
+    def _create_networks(self):
+        super()._create_networks()
+        from robot_manipulation_vq_vae_tpu.models import policy_nets as PolicyNets
+
+        gmm_cfg = self.algo_config.action_sampler.get("gmm", {})
+        self.nets["action_sampler"] = PolicyNets.GMMActorNetwork(
+            obs_shapes=tuple(self.obs_shapes.items()),
+            goal_shapes=tuple(self.goal_shapes.items()) or None,
+            ac_dim=self.ac_dim,
+            mlp_layer_dims=tuple(
+                self.algo_config.action_sampler.get("actor_layer_dims", (300, 400))
+            ),
+            num_modes=gmm_cfg.get("num_modes", 5),
+            min_std=gmm_cfg.get("min_std", 0.0001),
+            std_activation=gmm_cfg.get("std_activation", "softplus"),
+            low_noise_eval=False,
+            encoder_kwargs=_encoder_kwargs(self.obs_config),
+        )
+
+    def _init_variables(self, rng, batch):
+        rngs = jax.random.split(rng, self.n_critics + 1)
+        obs = device_process_obs(
+            {k: jnp.asarray(v) for k, v in batch["obs"].items()}
+        )
+        acts = jnp.asarray(batch["actions"])
+        out = {}
+        for i in range(self.n_critics):
+            v = self.nets[f"critic{i}"].init({"params": rngs[i]}, obs, acts)
+            out[f"critic{i}"] = v
+            out[f"critic{i}_target"] = jax.tree_util.tree_map(jnp.array, v)
+        out["action_sampler"] = self.nets["action_sampler"].init(
+            {"params": rngs[-1]}, obs
+        )
+        return out
+
+    def _sample_actions(self, params, aux, obs, rng, num_samples):
+        sampler = self.nets["action_sampler"]
+        tiled = {k: jnp.repeat(v, num_samples, axis=0) for k, v in obs.items()}
+        dist = sampler.apply({"params": params, **aux}, tiled, train=False)
+        return tiled, dist.sample(rng)
+
+    def _build_train_step(self):
+        """Same critic scheme as BCQ; the sampler loss is NLL."""
+        base_step = super()._build_train_step()
+        sampler = self.nets["action_sampler"]
+        opt = self.optimizers["action_sampler"]
+        import optax
+
+        def step(state, batch, validate):
+            # NLL sampler update happens outside the VAE-specific base path:
+            # rebuild it here, then run critic updates from the base step with
+            # the refreshed params.
+            rng, r1 = jax.random.split(state.rng)
+            obs = device_process_obs(batch["obs"])
+
+            def s_loss(p):
+                dist = sampler.apply(
+                    {"params": p, **state.aux["action_sampler"]}, obs,
+                    train=True,
+                )
+                return -jnp.mean(dist.log_prob(batch["actions"]))
+
+            loss, g = jax.value_and_grad(s_loss)(state.params["action_sampler"])
+            updates, o = opt.update(
+                g, state.opt_states["action_sampler"],
+                state.params["action_sampler"],
+            )
+            new_sampler = optax.apply_updates(
+                state.params["action_sampler"], updates
+            )
+
+            def choose(new, old):
+                return jax.tree_util.tree_map(
+                    lambda a, c: jnp.where(validate, c, a), new, old
+                )
+
+            state = state.replace(
+                params={
+                    **state.params,
+                    "action_sampler": choose(
+                        new_sampler, state.params["action_sampler"]
+                    ),
+                },
+                opt_states={
+                    **state.opt_states,
+                    "action_sampler": choose(
+                        o, state.opt_states["action_sampler"]
+                    ),
+                },
+                rng=rng,
+            )
+            new_state, metrics = base_step(state, batch, validate)
+            metrics["action_sampler/loss"] = loss
+            return new_state, metrics
+
+        return jax.jit(step, static_argnums=2)
+
+
+class BCQ_Distributional(BCQ):
+    """BCQ with a categorical distributional critic (C51-style;
+    reference ``BCQ_Distributional``). Requires value_bounds."""
+
+    def _create_networks(self):
+        super()._create_networks()
+        cfg = self.algo_config
+        assert cfg.critic.value_bounds is not None, (
+            "distributional critic requires critic.value_bounds"
+        )
+        from robot_manipulation_vq_vae_tpu.models import value_nets as ValueNets
+        from robot_manipulation_vq_vae_tpu.algo.icl import _encoder_kwargs as enc
+
+        self.n_critics = 1  # reference uses a single distributional critic
+        self.nets["critic0"] = ValueNets.DistributionalActionValueNetwork(
+            obs_shapes=tuple(self.obs_shapes.items()),
+            goal_shapes=tuple(self.goal_shapes.items()) or None,
+            ac_dim=self.ac_dim,
+            mlp_layer_dims=tuple(cfg.critic.layer_dims),
+            value_bounds=tuple(cfg.critic.value_bounds),
+            num_atoms=cfg.critic.distributional.num_atoms,
+            encoder_kwargs=enc(self.obs_config),
+        )
+        for k in list(self.nets):
+            if k.startswith("critic") and k != "critic0":
+                del self.nets[k]
+
+    def _build_train_step(self):
+        cfg = self.algo_config
+        critic = self.nets["critic0"]
+        sampler = self.nets["action_sampler"]
+        opts = self.optimizers
+        discount = float(cfg.discount) ** int(cfg.n_step)
+        tau = float(cfg.target_tau)
+        n_samples = int(cfg.critic.num_action_samples)
+        kl_weight = float(cfg.action_sampler.vae.kl_weight)
+        import optax
+
+        def step(state, batch, validate):
+            rng, r_lat, r_samp = jax.random.split(state.rng, 3)
+            obs = device_process_obs(batch["obs"])
+            next_obs = device_process_obs(batch["next_obs"])
+            acts, rewards, dones = (
+                batch["actions"], batch["rewards"], batch["dones"],
+            )
+            b = acts.shape[0]
+            metrics = OrderedDict()
+            new_params = dict(state.params)
+            new_opts = dict(state.opt_states)
+
+            # --- sampler (cVAE) update, as in BCQ
+            def s_loss(p):
+                out = sampler.apply(
+                    {"params": p, **state.aux["action_sampler"]}, acts, obs,
+                    rngs={"latent": r_lat}, method=sampler.forward_train,
+                )
+                return out["reconstruction_loss"] + kl_weight * out["kl_loss"]
+
+            s_l, g_s = jax.value_and_grad(s_loss)(state.params["action_sampler"])
+            metrics["action_sampler/loss"] = s_l
+            updates, o = opts["action_sampler"].update(
+                g_s, state.opt_states["action_sampler"],
+                state.params["action_sampler"],
+            )
+            new_params["action_sampler"] = optax.apply_updates(
+                state.params["action_sampler"], updates
+            )
+            new_opts["action_sampler"] = o
+
+            # --- target value distribution over sampled candidates
+            tiled_next, cand = self._sample_actions(
+                new_params["action_sampler"], state.aux["action_sampler"],
+                next_obs, r_samp, n_samples,
+            )
+            log_probs_t, atoms = critic.apply(
+                {"params": state.params["critic0_target"],
+                 **state.aux["critic0"]},
+                tiled_next, cand, method=critic.forward_train,
+            )
+            probs_t = jnp.exp(log_probs_t).reshape(b, n_samples, -1)
+            q_means = jnp.sum(probs_t * atoms, axis=-1)          # [B, S]
+            best = jnp.argmax(q_means, axis=1)                   # [B]
+            best_probs = jnp.take_along_axis(
+                probs_t, best[:, None, None], axis=1
+            )[:, 0]                                               # [B, A]
+            target_values = rewards + (1.0 - dones) * discount * atoms[None]
+            proj = LossUtils.project_values_onto_atoms(
+                target_values, best_probs, atoms
+            )
+            proj = jax.lax.stop_gradient(proj)
+
+            def c_loss(p):
+                log_probs, _ = critic.apply(
+                    {"params": p, **state.aux["critic0"]}, obs, acts,
+                    method=critic.forward_train,
+                )
+                return -jnp.mean(jnp.sum(proj * log_probs, axis=-1))
+
+            loss_c, g_c = jax.value_and_grad(c_loss)(state.params["critic0"])
+            metrics["critic/critic1_loss"] = loss_c
+            updates, o = opts["critic0"].update(
+                g_c, state.opt_states["critic0"], state.params["critic0"]
+            )
+            new_params["critic0"] = optax.apply_updates(
+                state.params["critic0"], updates
+            )
+            new_opts["critic0"] = o
+            new_params["critic0_target"] = polyak(
+                state.params["critic0_target"], new_params["critic0"], tau
+            )
+
+            def choose(new, old):
+                return jax.tree_util.tree_map(
+                    lambda a, c: jnp.where(validate, c, a), new, old
+                )
+
+            new_params = choose(new_params, state.params)
+            new_opts = choose(new_opts, state.opt_states)
+            return (
+                AlgoState(
+                    params=new_params, aux=state.aux, opt_states=new_opts,
+                    step=state.step + 1, rng=rng,
+                ),
+                metrics,
+            )
+
+        return jax.jit(step, static_argnums=2)

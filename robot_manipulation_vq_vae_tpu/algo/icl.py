@@ -468,6 +468,54 @@ class ICLRNN_GMM(ICLRNN):
         return jax.jit(step, static_argnums=2)
 
 
+class ICLVAE(ICL):
+    """CVAE ICL (reference ``ICLVAE`` icl.py:439-556): the BC_VAE training
+    scheme with the ICL t=0 batch slicing. Note the reference factory never
+    routes here (vae+transformer goes to HVQVAE, icl.py:83-94); exposed for
+    API parity."""
+
+    def _create_networks(self):
+        from robot_manipulation_vq_vae_tpu.models import vae_nets as VAENets
+
+        self.nets["policy"] = VAENets.VAEActor(
+            obs_shapes=tuple(self.obs_shapes.items()),
+            goal_shapes=tuple(self.goal_shapes.items()) or None,
+            ac_dim=self.ac_dim,
+            encoder_kwargs=_encoder_kwargs(self.obs_config),
+            **VAENets.vae_args_from_config(self.algo_config.vae),
+        )
+
+    def _init_variables(self, rng, batch):
+        from robot_manipulation_vq_vae_tpu.algo.bc import BC_VAE
+
+        return BC_VAE._init_variables(self, rng, batch)
+
+    def _build_train_step(self):
+        from robot_manipulation_vq_vae_tpu.algo.bc import BC_VAE
+
+        return BC_VAE._build_train_step(self)
+
+    def train_on_batch(self, batch, epoch, validate=False):
+        from robot_manipulation_vq_vae_tpu.algo.bc import BC_VAE
+
+        return BC_VAE.train_on_batch(self, batch, epoch, validate)
+
+    def _temperature(self, epoch):
+        from robot_manipulation_vq_vae_tpu.algo.bc import BC_VAE
+
+        return BC_VAE._temperature(self, epoch)
+
+    def log_info(self, info):
+        from robot_manipulation_vq_vae_tpu.algo.bc import BC_VAE
+
+        return BC_VAE.log_info(self, info)
+
+    def get_action(self, obs_dict, goal_dict=None):
+        from robot_manipulation_vq_vae_tpu.algo.bc import BC_VAE
+
+        return BC_VAE.get_action(self, obs_dict, goal_dict)
+
+
 # ---------------------------------------------------------------------------
 # transformer ICL
 # ---------------------------------------------------------------------------

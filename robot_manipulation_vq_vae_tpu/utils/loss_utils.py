@@ -49,6 +49,31 @@ def log_normal(x, m, v):
     return jnp.sum(lp, axis=-1)
 
 
+def project_values_onto_atoms(values, probabilities, atoms):
+    """Categorical (C51) projection of a target distribution onto a fixed
+    atom grid (reference loss_utils.py:154-200).
+
+    values [B, N], probabilities [B, N], atoms [A] -> projected probs [B, A].
+    """
+    vmin, vmax = atoms[0], atoms[-1]
+    d = atoms[1] - atoms[0]
+    clipped = jnp.clip(values, vmin, vmax)           # [B, N]
+    b = (clipped - vmin) / d                         # fractional atom index
+    lower = jnp.floor(b).astype(jnp.int32)
+    upper = jnp.ceil(b).astype(jnp.int32)
+    # handle exact-atom hits (lower == upper)
+    eq = (upper == lower).astype(probabilities.dtype)
+    ml = probabilities * (jnp.ceil(b) - b + eq)
+    mu = probabilities * (b - jnp.floor(b))
+    num_atoms = atoms.shape[0]
+
+    def scatter(idx, weights):
+        onehot = jax.nn.one_hot(idx, num_atoms, dtype=weights.dtype)
+        return jnp.einsum("bn,bna->ba", weights, onehot)
+
+    return scatter(lower, ml) + scatter(upper, mu)
+
+
 def log_normal_mixture(x, m, v, w=None, log_w=None):
     """Log prob under a mixture of Gaussians (reference :83-121)."""
     comp = log_normal(x[..., None, :], m, v)  # [..., M]

@@ -111,3 +111,44 @@ def test_cql():
     assert "critic/critic1_gap" in logs[0]
     # lagrange multiplier state exists (target_q_gap default 5.0 > 0)
     assert "log_alpha_prime" in algo.state.params
+
+
+def test_bcq_distributional():
+    algo = make_algo(
+        "bcq",
+        **{"critic.distributional.enabled": True,
+           "critic.distributional.num_atoms": 11,
+           "critic.value_bounds": [-10.0, 10.0],
+           "critic.num_action_samples": 3,
+           "critic.num_action_samples_rollout": 5,
+           "action_sampler.vae.encoder_layer_dims": (32,),
+           "action_sampler.vae.decoder_layer_dims": (32,)},
+    )
+    from robot_manipulation_vq_vae_tpu.algo.bcq import BCQ_Distributional
+
+    assert isinstance(algo, BCQ_Distributional)
+    logs = _run_two_steps(algo)
+    assert "critic/critic1_loss" in logs[0]
+
+
+def test_c51_projection_math():
+    """Categorical projection must preserve probability mass and the mean
+    for in-range targets."""
+    import jax.numpy as jnp
+    from robot_manipulation_vq_vae_tpu.utils import loss_utils as LossUtils
+
+    atoms = jnp.linspace(-1.0, 1.0, 11)
+    rng = np.random.RandomState(0)
+    probs = rng.rand(4, 11)
+    probs = probs / probs.sum(axis=1, keepdims=True)
+    values = np.clip(rng.randn(4, 11) * 0.3, -1, 1).astype(np.float32)
+    proj = np.asarray(
+        LossUtils.project_values_onto_atoms(
+            jnp.asarray(values), jnp.asarray(probs), atoms
+        )
+    )
+    np.testing.assert_allclose(proj.sum(axis=1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(
+        (proj * np.asarray(atoms)).sum(axis=1),
+        (probs * values).sum(axis=1), atol=1e-5,
+    )
