@@ -286,7 +286,11 @@ def rollout_with_stats(policy, envs, horizon, context_batch=None,
                 )
             else:
                 this_video_path = video_path
-            video_writer = imageio.get_writer(this_video_path, fps=20)
+            try:
+                video_writer = imageio.get_writer(this_video_path, fps=20)
+            except Exception as e:  # missing ffmpeg plugin etc.
+                LogUtils.log_warning(f"video writing disabled: {e}")
+                video_writer = None
 
         rollout_logs = []
         num_success = 0
