@@ -289,6 +289,25 @@ def train(config, eval_only=False):
             epoch_ckpt_name = updated["epoch_ckpt_name"]
             should_save_ckpt = should_save_ckpt or updated["should_save_ckpt"]
 
+        # model-prediction MSE eval (reference train.py:439-459)
+        mse_cfg = config.experiment.mse
+        if mse_cfg.get("enabled", False) and (
+            epoch % mse_cfg.get("every_n_epochs", 50) == 0
+            or (should_save_ckpt and mse_cfg.get("on_save_ckpt", False))
+        ):
+            savedir = (
+                os.path.join(video_dir, f"mse_epoch_{epoch}")
+                if mse_cfg.get("visualize", False)
+                else None
+            )
+            mse_log, _ = model.compute_mse_visualize(
+                trainset, validset,
+                num_samples=mse_cfg.get("num_samples", 20),
+                savedir=savedir,
+            )
+            for k, v in mse_log.items():
+                data_logger.record(f"{k}", v, epoch)
+
         # save checkpoint (reference train.py:469-479)
         if should_save_ckpt and not eval_only:
             TrainUtils.save_model(
