@@ -1,0 +1,125 @@
+"""SPMD correctness: the jitted train step under a dp/mp mesh must produce
+the same numbers as the unsharded step (GSPMD is layout, not semantics)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from robot_manipulation_vq_vae_tpu.parallel import (
+    make_mesh,
+    shard_batch,
+    shard_params,
+    shard_state,
+)
+
+
+def test_mesh_construction():
+    mesh = make_mesh(n_devices=8, mp=2)
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("dp", "mp")
+
+
+def test_sharded_matches_unsharded_lipvq_step():
+    """One LipVQ gradient step: replicated-vs-dp-sharded results match."""
+    import optax
+
+    from robot_manipulation_vq_vae_tpu.models.tokenizers import LipVQVAE
+
+    model = LipVQVAE(feature_dim=6, latent_dim=16, num_codes=8,
+                     use_pallas=False)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(16, 6).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(variables["params"])
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        def loss_fn(p):
+            _, loss = model.apply({"params": p}, batch)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    p_ref, _, loss_ref = step(variables["params"], opt_state, x)
+
+    mesh = make_mesh(n_devices=8, mp=1)
+    with mesh:
+        p_sh = shard_params(mesh, variables["params"])
+        batch_sh = shard_batch(mesh, x)
+        p_out, _, loss_sh = step(p_sh, opt_state, batch_sh)
+
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_ref), jax.tree_util.tree_leaves(p_out)
+    ):
+        # sharded reductions reorder float sums; tolerance covers that
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        )
+
+
+def test_tp_sharding_rules_applied():
+    """GPT FFN kernels get mp-sharded; everything else replicated."""
+    from robot_manipulation_vq_vae_tpu.models.transformers import GPT_Backbone
+
+    model = GPT_Backbone(embed_dim=32, context_length=4, num_layers=1,
+                         num_heads=4)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 4, 32)), deterministic=True
+    )
+    mesh = make_mesh(n_devices=8, mp=2)
+    params = shard_params(mesh, variables["params"])
+    fc = params["block0"]["mlp_fc"]["kernel"]
+    spec = fc.sharding.spec
+    assert tuple(spec) == (None, "mp"), spec
+    ln = params["block0"]["ln1"]["scale"]
+    assert tuple(ln.sharding.spec) in ((), (None,)), ln.sharding.spec
+
+    # sharded forward still equals replicated forward
+    out_ref = model.apply(variables, jnp.ones((2, 4, 32)), deterministic=True)
+    with mesh:
+        out_sh = model.apply(
+            {"params": params}, jnp.ones((2, 4, 32)), deterministic=True
+        )
+    np.testing.assert_allclose(
+        np.asarray(out_sh), np.asarray(out_ref), atol=1e-5
+    )
+
+
+def test_hvqvae_train_step_sharded_vs_single():
+    """Full flagship (ICLTransformerHVQVAE) step: dp-sharded batch produces
+    the same losses and parameters as unsharded."""
+    import __graft_entry__ as ge
+
+    config = ge._tiny_config()
+    batch_np = ge._make_batch(b=8)
+
+    algo1 = ge._make_algo(config)
+    b1 = algo1.process_batch_for_training(batch_np)
+    info1 = algo1.train_on_batch(b1, epoch=0)
+
+    algo2 = ge._make_algo(config)
+    b2 = algo2.process_batch_for_training(batch_np)
+    import jax.numpy as jnp
+
+    jbatch = {
+        "obs": {k: jnp.asarray(v) for k, v in b2["obs"].items()},
+        "actions": jnp.asarray(b2["actions"]),
+    }
+    algo2.ensure_state(jbatch)
+    mesh = make_mesh(n_devices=8, mp=1)
+    with mesh:
+        algo2.state = shard_state(mesh, algo2.state)
+        sharded = shard_batch(mesh, jbatch)
+        info2 = algo2.train_on_batch(sharded, epoch=0)
+
+    for k in ("action_loss", "vqvae_loss", "L_rec"):
+        np.testing.assert_allclose(
+            float(info1["losses"][k]), float(info2["losses"][k]),
+            rtol=1e-4, atol=1e-5,
+        )
