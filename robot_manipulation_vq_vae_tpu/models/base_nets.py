@@ -326,6 +326,85 @@ class ResNet50ConvFiLM(nn.Module):
         return ResNet50Conv.output_shape(input_shape)
 
 
+class ResNet18ConvFiLMCrossAttn(nn.Module):
+    """ResNet-18 trunk with FiLM + a cross-attention conditioning stage:
+    spatial features attend to the language embedding (reference
+    ``base_nets.py:944`` cross-attention FiLM variant)."""
+
+    lang_emb_dim: int = 768
+    input_coord_conv: bool = False
+    pretrained: bool = False
+    num_heads: int = 8
+
+    @nn.compact
+    def __call__(self, x, lang_emb, train=False):
+        x = _ResNet18Stem(coord_conv=self.input_coord_conv, name="stem")(x, train=train)
+        for i, (feat, stride) in enumerate(_RESNET18_PLAN):
+            x = BasicBlock(features=feat, stride=stride, name=f"block{i}")(
+                x, train=train
+            )
+            x = FiLMLayer(channels=feat, name=f"film{i}")(x, lang_emb)
+        # cross-attention: spatial tokens (queries) attend to the language
+        # embedding (single key/value token)
+        b, h, w, c = x.shape
+        tokens = x.reshape(b, h * w, c)
+        lang_kv = nn.Dense(c, name="lang_kv")(lang_emb)[:, None, :]  # [B,1,C]
+        q = nn.Dense(c, name="q")(tokens)
+        k = nn.Dense(c, name="k")(lang_kv)
+        v = nn.Dense(c, name="v")(lang_kv)
+        att = jax.nn.softmax(
+            jnp.einsum("bqc,bkc->bqk", q, k) / jnp.sqrt(c), axis=-1
+        )
+        attended = jnp.einsum("bqk,bkc->bqc", att, v)
+        tokens = tokens + nn.Dense(c, name="attn_out")(attended)
+        return tokens.reshape(b, h, w, c)
+
+    @staticmethod
+    def output_shape(input_shape):
+        return ResNet18Conv.output_shape(input_shape)
+
+
+class R3MConv(nn.Module):
+    """Frozen R3M visual encoder interface (reference ``base_nets.py:1091``).
+
+    R3M weights are an external torch artifact; in zero-egress environments
+    construct the features offline and feed them as low_dim obs, or point
+    ``RMVQ_R3M_FEATURES`` at a converted trunk. Instantiating without the
+    artifact raises with instructions (matching the gated-import policy)."""
+
+    r3m_model_class: str = "resnet18"
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        raise NotImplementedError(
+            "R3M requires the pretrained torch artifact (pip `r3m`); convert "
+            "the trunk with utils/ckpt_conversion.convert_resnet18 and load "
+            "it into a ResNet18Conv backbone instead."
+        )
+
+    @staticmethod
+    def output_shape(input_shape):
+        return [512]
+
+
+class MVPConv(nn.Module):
+    """Frozen MVP (masked visual pretraining) encoder interface (reference
+    ``base_nets.py:1187``). Same gating policy as R3MConv."""
+
+    mvp_model_class: str = "vitb-mae-egosoup"
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        raise NotImplementedError(
+            "MVP requires the pretrained torch artifact (pip `mvp`); "
+            "precompute features offline for zero-egress training."
+        )
+
+    @staticmethod
+    def output_shape(input_shape):
+        return [768]
+
+
 def add_coord_channels(x):
     """CoordConv: append normalized x/y coordinate channels
     (reference ``CoordConv2d`` base_nets.py:1287)."""

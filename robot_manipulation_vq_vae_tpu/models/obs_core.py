@@ -33,9 +33,15 @@ _BACKBONE_CLASSES = {
     "ResNet34ConvFiLM": BaseNets.ResNet34ConvFiLM,
     "ResNet50Conv": BaseNets.ResNet50Conv,
     "ResNet50ConvFiLM": BaseNets.ResNet50ConvFiLM,
+    "ResNet18ConvFiLMCrossAttn": BaseNets.ResNet18ConvFiLMCrossAttn,
+    "R3MConv": BaseNets.R3MConv,
+    "MVPConv": BaseNets.MVPConv,
 }
 
-_FILM_BACKBONES = {"ResNet18ConvFiLM", "ResNet34ConvFiLM", "ResNet50ConvFiLM"}
+_FILM_BACKBONES = {
+    "ResNet18ConvFiLM", "ResNet34ConvFiLM", "ResNet50ConvFiLM",
+    "ResNet18ConvFiLMCrossAttn",
+}
 
 
 def _filter_kwargs(cls, kwargs):

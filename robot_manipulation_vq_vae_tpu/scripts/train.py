@@ -173,7 +173,22 @@ def train(config, eval_only=False):
     train_iter = iter(train_loader)
 
     for epoch in range(1, config.train.num_epochs + 1):
-        if not eval_only:
+        profile_dir = os.environ.get("RMVQ_PROFILE_DIR")
+        if profile_dir and epoch == 2 and not eval_only:
+            # capture one profiled epoch (view with tensorboard / xprof)
+            import jax
+
+            with jax.profiler.trace(profile_dir):
+                step_log = TrainUtils.run_epoch(
+                    model=model,
+                    data_loader=train_loader,
+                    epoch=epoch,
+                    num_steps=train_num_steps,
+                    obs_normalization_stats=obs_normalization_stats,
+                    data_loader_iter=train_iter,
+                )
+            model.on_epoch_end(epoch)
+        elif not eval_only:
             step_log = TrainUtils.run_epoch(
                 model=model,
                 data_loader=train_loader,
@@ -319,6 +334,15 @@ def train(config, eval_only=False):
                 obs_normalization_stats=obs_normalization_stats,
                 action_normalization_stats=action_normalization_stats,
             )
+
+        # host RAM telemetry (reference train.py:480-483)
+        try:
+            import psutil
+
+            mem = psutil.virtual_memory()
+            data_logger.record("System/RAM_Usage_pct", mem.percent, epoch)
+        except ImportError:
+            pass
 
         if "Loss" in step_log:
             print(f"Epoch {epoch}: Loss {step_log['Loss']:.6f}")
