@@ -1,0 +1,133 @@
+"""Flagship training-step throughput at the reference's shipped scale:
+ICLTransformerHVQVAE (3 cameras 128x128 -> 116 crop, FiLM ResNet18 +
+SpatialSoftmax, 6L/512d/8H transformer, ctx 16; HVQVAE 1024/512 codebooks,
+2x4 MSTCN) on synthetic data, batch 64.
+
+Prints one JSON line with steps/sec and samples/sec. The reference trains
+this config at 500 steps/epoch on one CUDA GPU; typical reference throughput
+for this model family is a few steps/sec (never published - see BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from robot_manipulation_vq_vae_tpu.config import config_factory
+    from robot_manipulation_vq_vae_tpu.models import obs_core  # noqa: F401
+    from robot_manipulation_vq_vae_tpu.utils import obs_utils as ObsUtils
+    import robot_manipulation_vq_vae_tpu.algo as AlgoReg
+
+    B, H = 64, 16
+    A = 12
+    IMG = (128, 128, 3)
+    LOW_DIM = {
+        "robot0_base_to_eef_pos": (3,),
+        "robot0_base_to_eef_quat": (4,),
+        "robot0_base_pos": (3,),
+        "robot0_base_quat": (4,),
+        "robot0_gripper_qpos": (2,),
+    }
+    CAMS = [
+        "robot0_agentview_left_image",
+        "robot0_agentview_right_image",
+        "robot0_eye_in_hand_image",
+    ]
+    obs_key_shapes = dict(LOW_DIM)
+    obs_key_shapes.update({c: IMG for c in CAMS})
+    obs_key_shapes["lang_emb"] = (768,)
+
+    config = config_factory("icl")
+    with config.values_unlocked():
+        config.observation.modalities.obs.low_dim = list(LOW_DIM) + ["lang_emb"]
+        config.observation.modalities.obs.rgb = CAMS
+        config.observation.encoder.rgb.core_class = "VisualCoreLanguageConditioned"
+        config.observation.encoder.rgb.core_kwargs = {
+            "feature_dimension": 64,
+            "backbone_class": "ResNet18ConvFiLM",
+            "backbone_kwargs": {"pretrained": False, "input_coord_conv": False},
+            "pool_class": "SpatialSoftmax",
+            "pool_kwargs": {"num_kp": 32, "learnable_temperature": False,
+                             "temperature": 1.0, "noise_std": 0.0},
+        }
+        config.observation.encoder.rgb.obs_randomizer_class = "CropRandomizer"
+        config.observation.encoder.rgb.obs_randomizer_kwargs = {
+            "crop_height": 116, "crop_width": 116, "num_crops": 1,
+            "pos_enc": False,
+        }
+        config.algo.transformer.enabled = True
+        config.algo.transformer.context_length = H
+        config.algo.transformer.supervise_all_steps = True
+        config.algo.transformer.pred_future_acs = True
+        config.algo.transformer.causal = False
+        config.algo.transformer.vq_vae_enabled = True
+        config.algo.transformer.ln_act_enabled = True
+        config.train.batch_size = B
+        config.train.max_grad_norm = 100.0
+    config.lock()
+    ObsUtils.initialize_obs_utils_with_config(config)
+
+    algo = AlgoReg.algo_factory(
+        "icl", config, obs_key_shapes=obs_key_shapes, ac_dim=A
+    )
+
+    # synthesize the batch ON DEVICE: benchmark environments reach the chip
+    # over a slow tunnel, so host->device image uploads would dominate and
+    # measure the tunnel, not the training step
+    key = jax.random.PRNGKey(0)
+    batch = {"obs": {}}
+    batch["actions"] = jax.random.uniform(
+        jax.random.fold_in(key, 1), (B, H, A), jnp.float32, -1, 1
+    )
+    for i, (k, s) in enumerate(LOW_DIM.items()):
+        batch["obs"][k] = jax.random.normal(
+            jax.random.fold_in(key, 10 + i), (B, H) + s
+        )
+    for i, c in enumerate(CAMS):
+        batch["obs"][c] = jax.random.randint(
+            jax.random.fold_in(key, 20 + i), (B, H) + IMG, 0, 255, jnp.uint8
+        )
+    batch["obs"]["lang_emb"] = jax.random.normal(
+        jax.random.fold_in(key, 30), (B, H, 768)
+    )
+
+    t0 = time.perf_counter()
+    info = algo.train_on_batch(batch, epoch=0)  # init + compile
+    float(info["losses"]["action_loss"])
+    compile_time = time.perf_counter() - t0
+
+    # timed steps chain on the algo state (each step consumes the previous
+    # state); sync cost is amortized by differencing two chain lengths
+    def chain(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            info = algo.train_on_batch(batch, epoch=0)
+        float(info["losses"]["action_loss"])
+        return time.perf_counter() - t0
+
+    chain(1)
+    t_short, n_short = chain(1), 1
+    n_long = 11
+    t_long = chain(n_long)
+    per_step = max((t_long - t_short) / (n_long - n_short), 1e-9)
+    steps_per_sec = 1.0 / per_step
+    print(
+        json.dumps(
+            {
+                "metric": "icl_hvqvae_train_step_throughput",
+                "value": round(steps_per_sec, 3),
+                "unit": "steps/sec (batch 64, 3x128x128 cams)",
+                "samples_per_sec": round(steps_per_sec * B, 1),
+                "compile_sec": round(compile_time, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
