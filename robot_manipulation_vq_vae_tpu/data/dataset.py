@@ -453,10 +453,72 @@ class SequenceDataset:
 
 
 class R2D2Dataset(SequenceDataset):
-    """R2D2-format variant (reference dataset.py:731). The r2d2 format nests
-    observation keys differently; only the key layout differs."""
+    """R2D2/DROID-format variant (reference dataset.py:731-1045): one demo
+    per file, top-level ``action/*`` and ``observation/*`` groups (no
+    ``data/demo_N`` nesting), and gripper-transition segment annotations."""
 
-    pass
+    def load_demo_info(self, filter_by_attribute=None, demos=None):
+        self.demos = ["demo"]
+        self.n_demos = 1
+        self._index_to_demo_id = {}
+        self._demo_id_to_start_indices = {}
+        self._demo_id_to_demo_length = {}
+        self._demo_id_to_demo_lang_str = {}
+        self._demo_id_to_demo_lang_emb = {}
+        self._demo_id_to_segments = {}
+
+        ep = "demo"
+        demo_length = int(self.hdf5_file["action/cartesian_velocity"].shape[0])
+        self._demo_id_to_start_indices[ep] = 0
+        self._demo_id_to_demo_length[ep] = demo_length
+        if self.dataset_lang is not None:
+            self._demo_id_to_demo_lang_str[ep] = self.dataset_lang
+
+        # segment the demo at the first gripper close/open transitions
+        # (reference :787-799)
+        gripper = np.asarray(self.hdf5_file["action/gripper_position"][()])
+        closed = (gripper > 0).astype(int).tolist()
+        try:
+            g_close = closed.index(1)
+            g_open = g_close + closed[g_close:].index(0)
+        except ValueError:
+            g_close, g_open = demo_length // 3, demo_length // 3 * 2
+        self._demo_id_to_segments[ep] = [0, g_close, g_open, demo_length - 1]
+
+        num_sequences = demo_length
+        if not self.pad_frame_stack:
+            num_sequences -= self.n_frame_stack - 1
+        if not self.pad_seq_length:
+            num_sequences -= self.seq_length - 1
+        num_sequences = max(num_sequences, 1)
+        self.total_num_sequences = 0
+        for _ in range(num_sequences):
+            self._index_to_demo_id[self.total_num_sequences] = ep
+            self.total_num_sequences += 1
+
+        if self._lang_encoder is not None and self._demo_id_to_demo_lang_str:
+            emb = self._lang_encoder.get_lang_emb(
+                self._demo_id_to_demo_lang_str[ep]
+            )
+            self._demo_id_to_demo_lang_emb[ep] = np.asarray(emb)
+
+    def get_dataset_for_ep(self, demo_id, key):
+        """Keys live at the file root: ``action/*`` stays as-is, obs keys map
+        to ``observation/<key>``."""
+        if key.startswith("obs/"):
+            return self.hdf5_file["observation/" + key[len("obs/"):]]
+        if key.startswith("next_obs/"):
+            return self.hdf5_file["observation/" + key[len("next_obs/"):]]
+        return self.hdf5_file[key]
+
+    def get_action_traj(self, ep):
+        out = {}
+        for key in self.action_keys:
+            arr = np.asarray(self.hdf5_file[key][()], dtype=np.float32)
+            if arr.ndim == 1:
+                arr = arr.reshape(-1, 1)
+            out[key] = arr
+        return out
 
 
 class MetaDataset:

@@ -173,6 +173,21 @@ def train(config, eval_only=False):
     train_iter = iter(train_loader)
 
     for epoch in range(1, config.train.num_epochs + 1):
+        # eval-while-training mode: a *directory* ckpt_path makes the loop
+        # re-load model_epoch_{N} each epoch (reference train.py:259-267,
+        # used by config_gen/eval_ckpt.py)
+        if ckpt_path is not None and os.path.isdir(ckpt_path):
+            epoch_ckpt = os.path.join(ckpt_path, f"model_epoch_{epoch}.ckpt")
+            if os.path.isfile(epoch_ckpt):
+                ckpt = FileUtils.maybe_dict_from_checkpoint(
+                    ckpt_path=epoch_ckpt
+                )
+                model.deserialize(ckpt["model"])
+                print(f"loaded {epoch_ckpt}")
+            else:
+                print(f"waiting: {epoch_ckpt} not found, skipping epoch")
+                continue
+
         profile_dir = os.environ.get("RMVQ_PROFILE_DIR")
         if profile_dir and epoch == 2 and not eval_only:
             # capture one profiled epoch (view with tensorboard / xprof)

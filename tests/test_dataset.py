@@ -215,3 +215,44 @@ def test_cache_modes(demo_file):
     np.testing.assert_array_equal(
         item2["obs"]["eef_pos"], item["obs"]["eef_pos"]
     )
+
+
+def test_r2d2_dataset(tmp_path):
+    """R2D2/DROID layout: one demo at file root, action/* groups."""
+    from robot_manipulation_vq_vae_tpu.data import R2D2Dataset
+
+    T = 12
+    rng = np.random.RandomState(0)
+    p = str(tmp_path / "r2d2.hdf5")
+    with h5py.File(p, "w") as f:
+        f.create_dataset(
+            "action/cartesian_velocity", data=rng.randn(T, 6).astype(np.float32)
+        )
+        grip = np.zeros(T, np.float32)
+        grip[4:8] = 1.0  # close at t=4, open at t=8
+        f.create_dataset("action/gripper_position", data=grip)
+        f.create_dataset(
+            "observation/robot_state/cartesian_position",
+            data=rng.randn(T, 6).astype(np.float32),
+        )
+    ObsUtils.initialize_obs_utils_with_obs_specs(
+        {"obs": {"low_dim": ["robot_state/cartesian_position"]}}
+    )
+    ds = R2D2Dataset(
+        hdf5_path=p,
+        obs_keys=["robot_state/cartesian_position"],
+        action_keys=["action/cartesian_velocity", "action/gripper_position"],
+        dataset_keys=[],
+        action_config={
+            "action/cartesian_velocity": {"normalization": None},
+            "action/gripper_position": {"normalization": None},
+        },
+        frame_stack=2,
+        seq_length=3,
+        load_next_obs=False,
+    )
+    assert len(ds) == T
+    assert ds._demo_id_to_segments["demo"] == [0, 4, 8, T - 1]
+    item = ds[0]
+    assert item["actions"].shape == (4, 7)  # 6 + 1 dims, fs-1+seq window
+    assert item["obs"]["robot_state/cartesian_position"].shape == (4, 6)

@@ -255,3 +255,38 @@ def test_jitted_kmeans_quality():
     inertia = d[np.arange(len(data)), np.asarray(assign)].mean()
     assert inertia < 1.0  # clusters are tight; random init would be >> 1
     assert len(np.unique(np.asarray(assign))) >= 7
+
+
+def test_gradient_topology_parity(torch_model, flax_setup, batch):
+    """STE gradient routing: grads of the full VQ-VAE loss w.r.t. encoder
+    input-projection and decoder output-projection weights must match torch
+    (eval-mode forward: no EMA mutation, no dropout)."""
+    x_t = torch.from_numpy(batch)
+    torch_model.zero_grad()
+    out_t = torch_model(x_t, training=False)
+    losses_t = torch_model.compute_vqvae_loss(out_t, x_t, lambda_rec=1.0)
+    losses_t["vqvae_loss"].backward()
+    g_enc_t = torch_model.encoder.input_projection.weight.grad.numpy()
+    g_dec_t = torch_model.decoder.output_projection.weight.grad.numpy()
+
+    model, variables = flax_setup
+
+    def loss_fn(params):
+        out = model.apply(
+            {"params": params, "vq": variables["vq"]},
+            jnp.asarray(batch), training=False,
+        )
+        losses = compute_vqvae_loss(
+            out, jnp.asarray(batch), commitment_cost=1.0, lambda_rec=1.0
+        )
+        return losses["vqvae_loss"]
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    np.testing.assert_allclose(
+        np.asarray(grads["encoder"]["input_projection"]["kernel"]).T,
+        g_enc_t, atol=5e-4, rtol=1e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(grads["decoder"]["output_projection"]["kernel"]).T,
+        g_dec_t, atol=5e-4, rtol=1e-2,
+    )
