@@ -37,37 +37,44 @@ def main():
     x_init = jnp.zeros((8, FEATURE_DIM), jnp.float32)
     variables = model.init(rng, x_init)
 
+    # fused Pallas megakernel on TPU (whole tokenize+detokenize VMEM-resident,
+    # ~1.5x over the op-by-op path); standard path elsewhere
+    method = model.roundtrip_fused if on_tpu else model.roundtrip
+
     @jax.jit
     def roundtrip(v, x):
-        recon, idx = model.apply(v, x, method=model.roundtrip)
+        recon, idx = model.apply(v, x, method=method)
         return recon, idx
 
     x = jnp.asarray(
         np.random.RandomState(0).randn(BATCH, FEATURE_DIM).astype(np.float32)
     )
 
-    reduce = jax.jit(lambda r: jnp.sum(r))
+    import functools
 
-    def run_chain(n):
-        """n chained roundtrips + one scalar fetch. Feeding the
-        reconstruction back as input (same shape as the input) forces truly
-        sequential device execution; the scalar fetch is the only
-        device->host sync (it is expensive on tunneled backends, so we
-        amortize it by measuring two chain lengths and differencing)."""
-        y = x
-        t0 = time.perf_counter()
-        for _ in range(n):
-            y, _ = roundtrip(variables, y)
-        float(reduce(y))
-        return time.perf_counter() - t0
+    @functools.partial(jax.jit, static_argnames="n")
+    def chain(v, x, n):
+        """n chained roundtrips ON DEVICE (lax.fori_loop): one dispatch, one
+        scalar fetch - immune to per-call RPC jitter on tunneled backends.
+        Feeding the reconstruction back as input serializes iterations."""
 
-    # warmup / compile both kernels + the fetch path
-    run_chain(1)
-    run_chain(1)
+        def body(_, y):
+            recon, _ = model.apply(v, y, method=method)
+            return recon
 
-    n_short, n_long = (1, 6) if not on_tpu else (1, 201)
-    t_short = run_chain(n_short)
-    t_long = run_chain(n_long)
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x))
+
+    n_short, n_long = (1, 5) if not on_tpu else (1, 401)
+    # warmup/compile both trip counts
+    float(chain(variables, x, n_short))
+    float(chain(variables, x, n_long))
+
+    t0 = time.perf_counter()
+    float(chain(variables, x, n_short))
+    t_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(chain(variables, x, n_long))
+    t_long = time.perf_counter() - t0
     per_iter = max((t_long - t_short) / (n_long - n_short), 1e-9)
     chunks_per_sec = BATCH / per_iter
     baseline = 10_000.0  # north-star target (BASELINE.md)

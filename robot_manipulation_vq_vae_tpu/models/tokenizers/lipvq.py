@@ -184,6 +184,36 @@ class LipVQVAE(nn.Module):
         x_recon = self._decode(z_q)
         return x_recon.reshape(lead + (self.feature_dim,)), idx.reshape(lead)
 
+    def roundtrip_fused(self, x):
+        """Tokenize + detokenize as ONE Pallas megakernel: the encoder MLP,
+        Lipschitz latent, nearest-code search, gather, and decoder MLP run
+        VMEM-resident per tile with all weights (incl. codebook) pinned in
+        VMEM - the speed-of-light serving path."""
+        from robot_manipulation_vq_vae_tpu.ops.pallas.lipvq_kernel import (
+            lipvq_roundtrip_pallas,
+        )
+
+        lead = x.shape[:-1]
+        flat = x.reshape((-1, x.shape[-1]))
+        p = self.variables["params"]
+        # pre-normalize the Lipschitz weight (tiny; done once per call)
+        W = p["to_latent"]["W"]
+        ci = p["to_latent"]["ci"]
+        absrowsum = jnp.sum(jnp.abs(W), axis=1, keepdims=True)
+        scale = jnp.minimum(1.0, jax.nn.softplus(ci)[:, None] / absrowsum)
+        wl = (W * scale).T  # [hidden, latent]
+        recon, idx = lipvq_roundtrip_pallas(
+            flat,
+            enc_w=((p["enc1"]["kernel"], p["enc1"]["bias"]),
+                   (p["enc2"]["kernel"], p["enc2"]["bias"])),
+            lip_w=(wl, p["to_latent"]["b"]),
+            codebook=p["quantizer"]["codebook"],
+            dec_w=((p["dec1"]["kernel"], p["dec1"]["bias"]),
+                   (p["dec2"]["kernel"], p["dec2"]["bias"]),
+                   (p["to_output"]["kernel"], p["to_output"]["bias"])),
+        )
+        return recon.reshape(lead + (self.feature_dim,)), idx.reshape(lead)
+
 
 # Alias matching the reference class name for discoverability.
 LLFQVAE_V4 = LipVQVAE

@@ -133,3 +133,106 @@ def _bwd(block_n, interpret, res, cotangents):
 
 
 l2_nearest_pallas.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused tokenize+detokenize megakernel (inference/serving path)
+# ---------------------------------------------------------------------------
+
+def _roundtrip_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, wl_ref, bl_ref,
+                      cb_ref, csq_ref, w3_ref, b3_ref, w4_ref, b4_ref,
+                      w5_ref, b5_ref, recon_ref, idx_ref):
+    """Whole LipVQ roundtrip for one N-tile, VMEM-resident: encoder MLP ->
+    Lipschitz latent -> nearest-code assign -> gather -> decoder MLP. Every
+    weight (incl. the 1024x210 codebook) stays in VMEM across the grid, so
+    no intermediate touches HBM."""
+
+    def gelu(v):
+        # Pallas TPU has no erf lowering; the tanh-approximate GELU is the
+        # standard serving tradeoff (|err| < 1e-3, see test tolerance)
+        return jax.nn.gelu(v, approximate=True)
+
+    x = x_ref[:].astype(jnp.float32)
+    h = gelu(jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:])
+    h = gelu(jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:])
+    z = jax.nn.sigmoid(
+        jnp.dot(h, wl_ref[:], preferred_element_type=jnp.float32) + bl_ref[:]
+    )
+    cb = cb_ref[:]
+    cross = jnp.dot(z, cb.T, preferred_element_type=jnp.float32)
+    dist = csq_ref[:] - 2.0 * cross
+    idx = jnp.argmin(dist, axis=-1)
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, dist.shape, dimension=1)
+    onehot = (k_ids == idx[:, None]).astype(jnp.float32)
+    zq = jnp.dot(onehot, cb, preferred_element_type=jnp.float32)
+    d = gelu(jnp.dot(zq, w3_ref[:], preferred_element_type=jnp.float32) + b3_ref[:])
+    d = gelu(jnp.dot(d, w4_ref[:], preferred_element_type=jnp.float32) + b4_ref[:])
+    recon_ref[:] = (
+        jnp.dot(d, w5_ref[:], preferred_element_type=jnp.float32) + b5_ref[:]
+    ).astype(recon_ref.dtype)
+    idx_ref[:] = idx[:, None].astype(jnp.int32)
+
+
+def lipvq_roundtrip_pallas(x, enc_w, lip_w, codebook, dec_w, block_n=512,
+                           interpret=False):
+    """Fused tokenize+detokenize.
+
+    enc_w: ((W1 [in,64], b1), (W2 [64,H], b2)); lip_w: (Wl_norm [H,L], bl)
+    (already L-inf row-normalized); dec_w: ((W3 [L,64], b3), (W4 [64,H], b4),
+    (W5 [H,out], b5)). Returns (recon [N,out], idx [N]).
+    """
+    n, in_dim = x.shape
+    (w1, b1), (w2, b2) = enc_w
+    wl, bl = lip_w
+    (w3, b3), (w4, b4), (w5, b5) = dec_w
+    k = codebook.shape[0]
+    out_dim = w5.shape[1]
+    block_n = min(block_n, _round_up(max(n, 8), 8))
+    n_pad = _round_up(n, block_n)
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    c_sq = jnp.sum(
+        codebook.astype(jnp.float32) * codebook.astype(jnp.float32), axis=-1
+    )[None, :]
+
+    def row(v):
+        return v.reshape(1, -1)
+
+    grid = (n_pad // block_n,)
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        vmem = pltpu.VMEM
+    else:
+        vmem = None
+
+    def spec(shape, index_map):
+        if vmem is None:
+            return pl.BlockSpec(shape, index_map)
+        return pl.BlockSpec(shape, index_map, memory_space=vmem)
+
+    def rep(arr):  # whole-array (replicated across grid) spec
+        return spec(arr.shape, lambda i: tuple(0 for _ in arr.shape))
+
+    inputs = [
+        x, w1, row(b1), w2, row(b2), wl, row(bl), codebook, c_sq,
+        w3, row(b3), w4, row(b4), w5, row(b5),
+    ]
+    in_specs = [spec((block_n, in_dim), lambda i: (i, 0))] + [
+        rep(a) for a in inputs[1:]
+    ]
+    recon, idx = pl.pallas_call(
+        _roundtrip_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            spec((block_n, out_dim), lambda i: (i, 0)),
+            spec((block_n, 1), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, out_dim), x.dtype),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(*inputs)
+    return recon[:n], idx[:n, 0]

@@ -186,3 +186,40 @@ def test_pallas_kernel_gradient():
     g_p = jax.grad(f_pallas)(cb)
     g_x = jax.grad(f_xla)(cb)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=1e-5)
+
+
+def test_fused_roundtrip_kernel_matches_standard(flax_setup, batch):
+    """The fused Pallas megakernel (interpret mode on CPU) must reproduce the
+    standard roundtrip: identical assignments (away from code boundaries) and
+    reconstructions within the tanh-GELU approximation tolerance."""
+    from robot_manipulation_vq_vae_tpu.ops.pallas import lipvq_kernel as K
+
+    model, variables = flax_setup
+    x = jnp.asarray(batch)
+    recon_std, idx_std = model.apply(variables, x, method=model.roundtrip)
+
+    p = variables["params"]
+    W = p["to_latent"]["W"]
+    ci = p["to_latent"]["ci"]
+    absrowsum = jnp.sum(jnp.abs(W), axis=1, keepdims=True)
+    scale = jnp.minimum(1.0, jax.nn.softplus(ci)[:, None] / absrowsum)
+    wl = (W * scale).T
+    recon_f, idx_f = K.lipvq_roundtrip_pallas(
+        x,
+        enc_w=((p["enc1"]["kernel"], p["enc1"]["bias"]),
+               (p["enc2"]["kernel"], p["enc2"]["bias"])),
+        lip_w=(wl, p["to_latent"]["b"]),
+        codebook=p["quantizer"]["codebook"],
+        dec_w=((p["dec1"]["kernel"], p["dec1"]["bias"]),
+               (p["dec2"]["kernel"], p["dec2"]["bias"]),
+               (p["to_output"]["kernel"], p["to_output"]["bias"])),
+        block_n=64,
+        interpret=True,
+    )
+    match = np.mean(np.asarray(idx_f) == np.asarray(idx_std))
+    assert match > 0.95, match  # tanh-GELU may flip boundary assignments
+    same = np.asarray(idx_f) == np.asarray(idx_std)
+    np.testing.assert_allclose(
+        np.asarray(recon_f)[same], np.asarray(recon_std)[same],
+        atol=5e-3, rtol=5e-2,
+    )
