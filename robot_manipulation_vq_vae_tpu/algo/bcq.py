@@ -10,6 +10,7 @@ and picks the argmax-Q one.
 
 from collections import OrderedDict
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -42,6 +43,45 @@ def algo_config_to_class(algo_config):
     return BCQ, {}
 
 
+class PerturbationActor(nn.Module):
+    """BCQ perturbation network (reference bcq.py actor): maps (obs, sampled
+    action) to a bounded correction delta = scale * tanh(mlp([feat, a]))."""
+
+    obs_shapes: tuple
+    ac_dim: int
+    layer_dims: tuple = (300, 400)
+    perturbation_scale: float = 0.05
+    goal_shapes: tuple = None
+    encoder_kwargs: dict = None
+
+    def setup(self):
+        from robot_manipulation_vq_vae_tpu.models.obs_nets import (
+            ObservationGroupEncoder,
+            group_shapes_spec,
+        )
+
+        groups = {"obs": dict(self.obs_shapes)}
+        if self.goal_shapes:
+            groups["goal"] = dict(self.goal_shapes)
+        self.encoder = ObservationGroupEncoder(
+            observation_group_shapes=group_shapes_spec(groups),
+            encoder_kwargs=self.encoder_kwargs,
+        )
+        self.mlp = BaseNets.MLP(
+            output_dim=self.ac_dim, layer_dims=tuple(self.layer_dims)
+        )
+
+    def __call__(self, obs_dict, acts, goal_dict=None, train=False):
+        kwargs = {"obs": obs_dict}
+        if self.goal_shapes:
+            kwargs["goal"] = goal_dict
+        feat = self.encoder(train=train, **kwargs)
+        delta = self.perturbation_scale * jnp.tanh(
+            self.mlp(jnp.concatenate([feat, acts], axis=-1))
+        )
+        return jnp.clip(acts + delta, -1.0, 1.0)
+
+
 class BCQ(PolicyAlgo):
     def _create_networks(self):
         cfg = self.algo_config
@@ -66,9 +106,12 @@ class BCQ(PolicyAlgo):
         )
         self.actor_enabled = cfg.actor.enabled
         if self.actor_enabled:
-            self.nets["actor"] = BaseNets.MLP(
-                output_dim=self.ac_dim,
+            self.nets["actor"] = PerturbationActor(
+                obs_shapes=obs_spec, goal_shapes=goal_spec,
+                ac_dim=self.ac_dim,
                 layer_dims=tuple(cfg.actor.layer_dims),
+                perturbation_scale=cfg.actor.perturbation_scale,
+                encoder_kwargs=enc,
             )
 
     def _create_optimizers(self):
@@ -110,11 +153,10 @@ class BCQ(PolicyAlgo):
             method=self.nets["action_sampler"].forward_train,
         )
         if self.actor_enabled:
-            feat = jnp.zeros((1, 1))
-            raise NotImplementedError(
-                "BCQ perturbation actor is disabled by default in the "
-                "reference config; enable-path lands in a later round"
-            )
+            r_extra = jax.random.fold_in(rng, 99)
+            v = self.nets["actor"].init({"params": r_extra}, obs, acts)
+            out["actor"] = v
+            out["actor_target"] = jax.tree_util.tree_map(jnp.array, v)
         return out
 
     def _sample_actions(self, params, aux, obs, rng, num_samples):
@@ -188,6 +230,13 @@ class BCQ(PolicyAlgo):
                 new_params["action_sampler"], state.aux["action_sampler"],
                 next_obs, r_samp, n_samples,
             )
+            if self.actor_enabled:
+                # perturb candidates with the TARGET actor (reference bcq.py)
+                cand = self.nets["actor"].apply(
+                    {"params": state.params["actor_target"],
+                     **state.aux["actor"]},
+                    tiled_next, cand,
+                )
             q_next_all = jnp.stack(
                 [
                     apply_net(
@@ -229,6 +278,42 @@ class BCQ(PolicyAlgo):
                     new_params[f"critic{i}"], tau,
                 )
 
+            # ---- perturbation actor update: maximize Q(s, a + delta(a))
+            if self.actor_enabled:
+                actor_net = self.nets["actor"]
+                r_a = jax.random.fold_in(rng, 7)
+                tiled_obs, cand_obs = self._sample_actions(
+                    new_params["action_sampler"],
+                    state.aux["action_sampler"], obs, r_a, 1,
+                )
+
+                def a_loss(p):
+                    perturbed = actor_net.apply(
+                        {"params": p, **state.aux["actor"]},
+                        tiled_obs, jax.lax.stop_gradient(cand_obs),
+                        train=True,
+                    )
+                    q = apply_net(
+                        critics[0], new_params["critic0"],
+                        state.aux["critic0"], tiled_obs, perturbed,
+                    )
+                    return -jnp.mean(q)
+
+                actor_loss, g_a = jax.value_and_grad(a_loss)(
+                    state.params["actor"]
+                )
+                metrics["actor/loss"] = actor_loss
+                updates, o = opts["actor"].update(
+                    g_a, state.opt_states["actor"], state.params["actor"]
+                )
+                new_params["actor"] = optax.apply_updates(
+                    state.params["actor"], updates
+                )
+                new_opts["actor"] = o
+                new_params["actor_target"] = polyak(
+                    state.params["actor_target"], new_params["actor"], tau
+                )
+
             def choose(new, old):
                 return jax.tree_util.tree_map(
                     lambda a, c: jnp.where(validate, c, a), new, old
@@ -268,6 +353,11 @@ class BCQ(PolicyAlgo):
             self.state.params["action_sampler"],
             self.state.aux["action_sampler"], obs, key, n_samples,
         )
+        if self.actor_enabled:
+            cand = self.nets["actor"].apply(
+                {"params": self.state.params["actor"], **self.state.aux["actor"]},
+                tiled, cand,
+            )
         q = self.nets["critic0"].apply(
             {"params": self.state.params["critic0"], **self.state.aux["critic0"]},
             tiled, cand,
@@ -292,6 +382,11 @@ class BCQ(PolicyAlgo):
             self.state.params["action_sampler"],
             self.state.aux["action_sampler"], obs, key, n_samples,
         )
+        if self.actor_enabled:
+            cand = self.nets["actor"].apply(
+                {"params": self.state.params["actor"], **self.state.aux["actor"]},
+                tiled, cand,
+            )
         q = self.nets["critic0"].apply(
             {"params": self.state.params["critic0"], **self.state.aux["critic0"]},
             tiled, cand,

@@ -152,3 +152,17 @@ def test_c51_projection_math():
         (proj * np.asarray(atoms)).sum(axis=1),
         (probs * values).sum(axis=1), atol=1e-5,
     )
+
+
+def test_bcq_perturbation_actor():
+    algo = make_algo(
+        "bcq",
+        **{"actor.enabled": True,
+           "critic.num_action_samples": 3,
+           "critic.num_action_samples_rollout": 4,
+           "action_sampler.vae.encoder_layer_dims": (32,),
+           "action_sampler.vae.decoder_layer_dims": (32,)},
+    )
+    logs = _run_two_steps(algo)
+    assert "actor/loss" in logs[0]
+    assert "actor_target" in algo.state.params

@@ -95,3 +95,20 @@ def test_deepcopy_and_dump_roundtrip():
     assert d.to_dict() == c.to_dict()
     s = c.dump()
     assert json.loads(s)["algo_name"] == "icl"
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/train_config_v2.json"),
+    reason="reference config not mounted",
+)
+def test_loads_reference_v2_and_eval_configs():
+    """The paper-variant (GMM) and eval configs must also load unmodified."""
+    for p in ("/root/reference/train_config_v2.json",
+              "/root/reference/eval_config.json"):
+        with open(p) as f:
+            ext = json.load(f)
+        config = config_factory(ext["algo_name"])
+        with config.values_unlocked():
+            config.update(ext)
+        config.lock()
+        assert config.algo_name == "icl"
