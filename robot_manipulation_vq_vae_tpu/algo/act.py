@@ -26,7 +26,6 @@ from robot_manipulation_vq_vae_tpu.algo.algo import (
     register_algo_factory_func,
 )
 from robot_manipulation_vq_vae_tpu.algo.icl import _encoder_kwargs
-from robot_manipulation_vq_vae_tpu.models import base_nets as BaseNets
 from robot_manipulation_vq_vae_tpu.models.obs_nets import (
     ObservationGroupEncoder,
     group_shapes_spec,

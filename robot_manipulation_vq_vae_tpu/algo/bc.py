@@ -17,7 +17,6 @@ from collections import OrderedDict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from robot_manipulation_vq_vae_tpu.algo.algo import (
     AlgoState,
@@ -33,7 +32,6 @@ from robot_manipulation_vq_vae_tpu.algo.icl import (
     ICLTransformer,
     _encoder_kwargs,
 )
-from robot_manipulation_vq_vae_tpu.models import base_nets as BaseNets
 from robot_manipulation_vq_vae_tpu.models import policy_nets as PolicyNets
 from robot_manipulation_vq_vae_tpu.models import vae_nets as VAENets
 

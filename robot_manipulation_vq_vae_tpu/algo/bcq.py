@@ -13,7 +13,6 @@ from collections import OrderedDict
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from robot_manipulation_vq_vae_tpu.algo.algo import (
     AlgoState,

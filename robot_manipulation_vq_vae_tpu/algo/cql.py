@@ -12,7 +12,6 @@ from collections import OrderedDict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from robot_manipulation_vq_vae_tpu.algo.algo import (
     AlgoState,
@@ -22,7 +21,6 @@ from robot_manipulation_vq_vae_tpu.algo.algo import (
 )
 from robot_manipulation_vq_vae_tpu.algo.icl import _encoder_kwargs
 from robot_manipulation_vq_vae_tpu.algo.iql import polyak
-from robot_manipulation_vq_vae_tpu.models import policy_nets as PolicyNets
 from robot_manipulation_vq_vae_tpu.models import value_nets as ValueNets
 from robot_manipulation_vq_vae_tpu.models.obs_nets import (
     MIMO_MLP,

@@ -27,7 +27,6 @@ Reference behaviors reproduced exactly (with citations):
     [h-1 : h-1+h] when pred_future_acs (icl.py:806-845).
 """
 
-import functools
 from collections import OrderedDict
 
 import jax

@@ -10,7 +10,6 @@ GPT_Backbone) and the config section (``algo.mamba`` instead of
 
 from robot_manipulation_vq_vae_tpu.algo.algo import register_algo_factory_func
 from robot_manipulation_vq_vae_tpu.algo.icl import (
-    ICLTransformer,
     ICLTransformerHVQVAE,
     ICLTransformer_GMM,
     _encoder_kwargs,

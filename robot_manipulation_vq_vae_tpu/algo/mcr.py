@@ -15,7 +15,6 @@ of scope here.
 import os
 
 import jax
-import numpy as np
 
 from robot_manipulation_vq_vae_tpu.algo.algo import register_algo_factory_func
 from robot_manipulation_vq_vae_tpu.algo.bc import (

@@ -1,8 +1,6 @@
 """Gym environment wrapper (reference ``robomimic/envs/env_gym.py``).
 Gated on the gym/gymnasium package being installed."""
 
-import json
-
 import numpy as np
 
 from robot_manipulation_vq_vae_tpu.envs.env_base import EnvBase, EnvType

@@ -7,8 +7,6 @@ adapts the robosuite API to the EnvBase protocol. Gated: constructing it
 requires robosuite (and robocasa for kitchen envs) to be installed.
 """
 
-import json
-
 import numpy as np
 
 from robot_manipulation_vq_vae_tpu.envs.env_base import EnvBase, EnvType

@@ -7,8 +7,7 @@ modules; randomizers are parameter-free callables that take an explicit rng
 channels-last ([..., H, W, C]) throughout.
 """
 
-import math
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax

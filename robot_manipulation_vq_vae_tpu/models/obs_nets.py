@@ -13,10 +13,9 @@ the module (the reference stashes ``self._vq_vae_loss`` as a side channel,
 Image layout is channels-last ([..., H, W, C]) throughout.
 """
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 import numpy as np
 

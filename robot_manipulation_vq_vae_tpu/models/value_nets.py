@@ -7,7 +7,6 @@ from typing import Any, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from robot_manipulation_vq_vae_tpu.models import base_nets as BaseNets
 from robot_manipulation_vq_vae_tpu.models.obs_nets import (

@@ -8,8 +8,6 @@ Demos are processed by a pool of worker processes, each stepping its own env
 
 import argparse
 import json
-import multiprocessing as mp
-import os
 
 import h5py
 import numpy as np

@@ -2,7 +2,6 @@
 (reference ``robomimic/scripts/generate_config_templates.py`` ->
 ``robomimic/exps/templates/*.json``)."""
 
-import json
 import os
 
 

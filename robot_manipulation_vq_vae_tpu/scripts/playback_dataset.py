@@ -9,7 +9,6 @@ Two modes:
 """
 
 import argparse
-import json
 
 import h5py
 import numpy as np

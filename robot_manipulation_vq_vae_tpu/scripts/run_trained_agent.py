@@ -5,8 +5,6 @@ write an hdf5 of the collected trajectories."""
 
 import argparse
 
-import numpy as np
-
 from robot_manipulation_vq_vae_tpu.utils import env_utils as EnvUtils
 from robot_manipulation_vq_vae_tpu.utils import file_utils as FileUtils
 from robot_manipulation_vq_vae_tpu.utils import train_utils as TrainUtils

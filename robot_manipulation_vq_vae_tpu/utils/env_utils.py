@@ -1,6 +1,6 @@
 """Env factory + helpers (reference ``robomimic/utils/env_utils.py``)."""
 
-from robot_manipulation_vq_vae_tpu.envs.env_base import EnvBase, EnvType
+from robot_manipulation_vq_vae_tpu.envs.env_base import EnvType
 
 
 def get_env_class(env_meta=None, env_type=None, env=None):

@@ -17,7 +17,6 @@ from robot_manipulation_vq_vae_tpu.data.dataset import (
 )
 from robot_manipulation_vq_vae_tpu.utils import file_utils as FileUtils
 from robot_manipulation_vq_vae_tpu.utils import log_utils as LogUtils
-from robot_manipulation_vq_vae_tpu.utils import obs_utils as ObsUtils
 from robot_manipulation_vq_vae_tpu.utils import tensor_utils as TensorUtils
 
 
