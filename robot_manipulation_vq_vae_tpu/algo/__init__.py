@@ -42,7 +42,11 @@ from robot_manipulation_vq_vae_tpu.algo.bc import (  # noqa: F401
 from robot_manipulation_vq_vae_tpu.algo import iql, td3_bc, bcq, cql  # noqa: F401
 from robot_manipulation_vq_vae_tpu.algo.iql import IQL  # noqa: F401
 from robot_manipulation_vq_vae_tpu.algo.td3_bc import TD3_BC  # noqa: F401
-from robot_manipulation_vq_vae_tpu.algo.bcq import BCQ  # noqa: F401
+from robot_manipulation_vq_vae_tpu.algo.bcq import (  # noqa: F401
+    BCQ,
+    BCQ_GMM,
+    BCQ_Distributional,
+)
 from robot_manipulation_vq_vae_tpu.algo.cql import CQL  # noqa: F401
 
 from robot_manipulation_vq_vae_tpu.algo import gl, hbc, iris  # noqa: F401

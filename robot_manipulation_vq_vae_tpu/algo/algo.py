@@ -213,6 +213,31 @@ class Algo:
     def on_epoch_end(self, epoch):
         pass
 
+    def _check_epoch(self, net_name, epoch):
+        """Whether @net_name's optimizer is active this epoch, per its
+        optim_params epoch window (-1 = unbounded). Reference
+        ``td3_bc.py:126-136`` / ``bcq.py:140-150``."""
+        p = self.optim_params[net_name]
+        start = p.get("start_epoch", -1)
+        end = p.get("end_epoch", -1)
+        start_ok = (start == -1) or (epoch >= start)
+        end_ok = (end == -1) or (epoch < end)
+        return start_ok and end_ok
+
+    def _epoch_gates(self, epoch):
+        """All per-net epoch-window gates as traced scalars, so a window
+        opening/closing mid-run does not retrigger compilation."""
+        return {
+            name: jnp.asarray(self._check_epoch(name, epoch))
+            for name in self.optim_params
+        }
+
+    def _extra_step_args(self, epoch):
+        """Extra traced args threaded into the jitted train step. TD3-BC and
+        BCQ consume per-net epoch-window gates (reference td3_bc.py:126-136,
+        bcq.py:140-150); algos without epoch windows (CQL) override to ()."""
+        return (self._epoch_gates(epoch),)
+
     # mode toggles are no-ops in the functional design (train/eval behavior
     # is an explicit argument to the jitted functions), kept for API compat
     def set_eval(self):

@@ -169,24 +169,40 @@ class BCQ(PolicyAlgo):
         )
         return tiled, acts
 
+    def _sampler_loss(self, p, state, obs, acts, r_lat):
+        """cVAE ELBO for the action sampler (reference bcq.py
+        ``_train_action_sampler_on_batch``). Returns (loss, metrics)."""
+        sampler = self.nets["action_sampler"]
+        kl_weight = float(self.algo_config.action_sampler.vae.kl_weight)
+        out = sampler.apply(
+            {"params": p, **state.aux["action_sampler"]}, acts, obs,
+            rngs={"latent": r_lat},
+            method=sampler.forward_train,
+        )
+        loss = out["reconstruction_loss"] + kl_weight * out["kl_loss"]
+        return loss, OrderedDict(
+            [
+                ("action_sampler/loss", loss),
+                ("action_sampler/kl_loss", out["kl_loss"]),
+            ]
+        )
+
     def _build_train_step(self):
         cfg = self.algo_config
         n = self.n_critics
         critics = [self.nets[f"critic{i}"] for i in range(n)]
-        sampler = self.nets["action_sampler"]
         opts = self.optimizers
         discount = float(cfg.discount) ** int(cfg.n_step)
         tau = float(cfg.target_tau)
         ens_w = float(cfg.critic.ensemble.weight)
         n_samples = int(cfg.critic.num_action_samples)
         use_huber = cfg.critic.use_huber
-        kl_weight = float(cfg.action_sampler.vae.kl_weight)
         import optax
 
         def apply_net(net, params, aux, *args, **kwargs):
             return net.apply({"params": params, **aux}, *args, **kwargs)
 
-        def step(state, batch, validate):
+        def step(state, batch, gates, validate):
             rng, r_lat, r_samp = jax.random.split(state.rng, 3)
             obs = device_process_obs(batch["obs"])
             next_obs = device_process_obs(batch["next_obs"])
@@ -198,31 +214,28 @@ class BCQ(PolicyAlgo):
             new_params = dict(state.params)
             new_opts = dict(state.opt_states)
 
-            # ---- action sampler (cVAE) update
-            def s_loss(p):
-                out = apply_net(
-                    sampler, p, state.aux["action_sampler"], acts, obs,
-                    rngs={"latent": r_lat},
-                    method=sampler.forward_train,
-                )
-                return (
-                    out["reconstruction_loss"] + kl_weight * out["kl_loss"],
-                    out,
+            def gate(flag, a, old):
+                return jax.tree_util.tree_map(
+                    lambda x, y: jnp.where(flag, x, y), a, old
                 )
 
-            (sampler_loss, s_out), g_s = jax.value_and_grad(
-                s_loss, has_aux=True
-            )(state.params["action_sampler"])
-            metrics["action_sampler/loss"] = sampler_loss
-            metrics["action_sampler/kl_loss"] = s_out["kl_loss"]
+            # ---- action sampler update (cVAE here, NLL in BCQ_GMM)
+            (sampler_loss, s_metrics), g_s = jax.value_and_grad(
+                self._sampler_loss, has_aux=True
+            )(state.params["action_sampler"], state, obs, acts, r_lat)
+            metrics.update(s_metrics)
             updates, o = opts["action_sampler"].update(
                 g_s, state.opt_states["action_sampler"],
                 state.params["action_sampler"],
             )
-            new_params["action_sampler"] = optax.apply_updates(
-                state.params["action_sampler"], updates
+            new_params["action_sampler"] = gate(
+                gates["action_sampler"],
+                optax.apply_updates(state.params["action_sampler"], updates),
+                state.params["action_sampler"],
             )
-            new_opts["action_sampler"] = o
+            new_opts["action_sampler"] = gate(
+                gates["action_sampler"], o, state.opt_states["action_sampler"]
+            )
 
             # ---- critic targets: sample candidates at s', max over samples
             tiled_next, cand = self._sample_actions(
@@ -268,13 +281,23 @@ class BCQ(PolicyAlgo):
                     g, state.opt_states[f"critic{i}"],
                     state.params[f"critic{i}"],
                 )
-                new_params[f"critic{i}"] = optax.apply_updates(
-                    state.params[f"critic{i}"], updates
+                new_params[f"critic{i}"] = gate(
+                    gates["critic"],
+                    optax.apply_updates(state.params[f"critic{i}"], updates),
+                    state.params[f"critic{i}"],
                 )
-                new_opts[f"critic{i}"] = o
-                new_params[f"critic{i}_target"] = polyak(
+                new_opts[f"critic{i}"] = gate(
+                    gates["critic"], o, state.opt_states[f"critic{i}"]
+                )
+                # targets move only on critic gradient steps (reference
+                # bcq.py:600-608)
+                new_params[f"critic{i}_target"] = gate(
+                    gates["critic"],
+                    polyak(
+                        state.params[f"critic{i}_target"],
+                        new_params[f"critic{i}"], tau,
+                    ),
                     state.params[f"critic{i}_target"],
-                    new_params[f"critic{i}"], tau,
                 )
 
             # ---- perturbation actor update: maximize Q(s, a + delta(a))
@@ -305,12 +328,20 @@ class BCQ(PolicyAlgo):
                 updates, o = opts["actor"].update(
                     g_a, state.opt_states["actor"], state.params["actor"]
                 )
-                new_params["actor"] = optax.apply_updates(
-                    state.params["actor"], updates
+                new_params["actor"] = gate(
+                    gates["actor"],
+                    optax.apply_updates(state.params["actor"], updates),
+                    state.params["actor"],
                 )
-                new_opts["actor"] = o
-                new_params["actor_target"] = polyak(
-                    state.params["actor_target"], new_params["actor"], tau
+                new_opts["actor"] = gate(
+                    gates["actor"], o, state.opt_states["actor"]
+                )
+                new_params["actor_target"] = gate(
+                    gates["actor"],
+                    polyak(
+                        state.params["actor_target"], new_params["actor"], tau
+                    ),
+                    state.params["actor_target"],
                 )
 
             def choose(new, old):
@@ -328,7 +359,7 @@ class BCQ(PolicyAlgo):
                 metrics,
             )
 
-        return jax.jit(step, static_argnums=2)
+        return jax.jit(step, static_argnums=3)
 
     def train_on_batch(self, batch, epoch, validate=False):
         from robot_manipulation_vq_vae_tpu.algo.td3_bc import TD3_BC
@@ -441,61 +472,15 @@ class BCQ_GMM(BCQ):
         dist = sampler.apply({"params": params, **aux}, tiled, train=False)
         return tiled, dist.sample(rng)
 
-    def _build_train_step(self):
-        """Same critic scheme as BCQ; the sampler loss is NLL."""
-        base_step = super()._build_train_step()
+    def _sampler_loss(self, p, state, obs, acts, r_lat):
+        """GMM sampler trains with NLL instead of the cVAE ELBO
+        (reference ``BCQ_GMM._train_action_sampler_on_batch``)."""
         sampler = self.nets["action_sampler"]
-        opt = self.optimizers["action_sampler"]
-        import optax
-
-        def step(state, batch, validate):
-            # NLL sampler update happens outside the VAE-specific base path:
-            # rebuild it here, then run critic updates from the base step with
-            # the refreshed params.
-            rng, r1 = jax.random.split(state.rng)
-            obs = device_process_obs(batch["obs"])
-
-            def s_loss(p):
-                dist = sampler.apply(
-                    {"params": p, **state.aux["action_sampler"]}, obs,
-                    train=True,
-                )
-                return -jnp.mean(dist.log_prob(batch["actions"]))
-
-            loss, g = jax.value_and_grad(s_loss)(state.params["action_sampler"])
-            updates, o = opt.update(
-                g, state.opt_states["action_sampler"],
-                state.params["action_sampler"],
-            )
-            new_sampler = optax.apply_updates(
-                state.params["action_sampler"], updates
-            )
-
-            def choose(new, old):
-                return jax.tree_util.tree_map(
-                    lambda a, c: jnp.where(validate, c, a), new, old
-                )
-
-            state = state.replace(
-                params={
-                    **state.params,
-                    "action_sampler": choose(
-                        new_sampler, state.params["action_sampler"]
-                    ),
-                },
-                opt_states={
-                    **state.opt_states,
-                    "action_sampler": choose(
-                        o, state.opt_states["action_sampler"]
-                    ),
-                },
-                rng=rng,
-            )
-            new_state, metrics = base_step(state, batch, validate)
-            metrics["action_sampler/loss"] = loss
-            return new_state, metrics
-
-        return jax.jit(step, static_argnums=2)
+        dist = sampler.apply(
+            {"params": p, **state.aux["action_sampler"]}, obs, train=True
+        )
+        loss = -jnp.mean(dist.log_prob(acts))
+        return loss, OrderedDict([("action_sampler/loss", loss)])
 
 
 class BCQ_Distributional(BCQ):
@@ -536,7 +521,7 @@ class BCQ_Distributional(BCQ):
         kl_weight = float(cfg.action_sampler.vae.kl_weight)
         import optax
 
-        def step(state, batch, validate):
+        def step(state, batch, gates, validate):
             rng, r_lat, r_samp = jax.random.split(state.rng, 3)
             obs = device_process_obs(batch["obs"])
             next_obs = device_process_obs(batch["next_obs"])
@@ -547,6 +532,11 @@ class BCQ_Distributional(BCQ):
             metrics = OrderedDict()
             new_params = dict(state.params)
             new_opts = dict(state.opt_states)
+
+            def gate(flag, a, old):
+                return jax.tree_util.tree_map(
+                    lambda x, y: jnp.where(flag, x, y), a, old
+                )
 
             # --- sampler (cVAE) update, as in BCQ
             def s_loss(p):
@@ -562,10 +552,14 @@ class BCQ_Distributional(BCQ):
                 g_s, state.opt_states["action_sampler"],
                 state.params["action_sampler"],
             )
-            new_params["action_sampler"] = optax.apply_updates(
-                state.params["action_sampler"], updates
+            new_params["action_sampler"] = gate(
+                gates["action_sampler"],
+                optax.apply_updates(state.params["action_sampler"], updates),
+                state.params["action_sampler"],
             )
-            new_opts["action_sampler"] = o
+            new_opts["action_sampler"] = gate(
+                gates["action_sampler"], o, state.opt_states["action_sampler"]
+            )
 
             # --- target value distribution over sampled candidates
             tiled_next, cand = self._sample_actions(
@@ -601,12 +595,20 @@ class BCQ_Distributional(BCQ):
             updates, o = opts["critic0"].update(
                 g_c, state.opt_states["critic0"], state.params["critic0"]
             )
-            new_params["critic0"] = optax.apply_updates(
-                state.params["critic0"], updates
+            new_params["critic0"] = gate(
+                gates["critic"],
+                optax.apply_updates(state.params["critic0"], updates),
+                state.params["critic0"],
             )
-            new_opts["critic0"] = o
-            new_params["critic0_target"] = polyak(
-                state.params["critic0_target"], new_params["critic0"], tau
+            new_opts["critic0"] = gate(
+                gates["critic"], o, state.opt_states["critic0"]
+            )
+            new_params["critic0_target"] = gate(
+                gates["critic"],
+                polyak(
+                    state.params["critic0_target"], new_params["critic0"], tau
+                ),
+                state.params["critic0_target"],
             )
 
             def choose(new, old):
@@ -624,4 +626,4 @@ class BCQ_Distributional(BCQ):
                 metrics,
             )
 
-        return jax.jit(step, static_argnums=2)
+        return jax.jit(step, static_argnums=3)

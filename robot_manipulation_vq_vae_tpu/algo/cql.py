@@ -414,6 +414,10 @@ class CQL(PolicyAlgo):
 
         return TD3_BC.train_on_batch(self, batch, epoch, validate)
 
+    def _extra_step_args(self, epoch):
+        # reference cql.py has no per-net epoch windows
+        return ()
+
     def log_info(self, info):
         log = OrderedDict((k, float(v)) for k, v in info["losses"].items())
         log["Loss"] = log.get("actor/loss", 0.0)

@@ -125,7 +125,7 @@ class TD3_BC(PolicyAlgo):
         def apply_net(net, params, aux, *args, **kwargs):
             return net.apply({"params": params, **aux}, *args, **kwargs)
 
-        def step(state, batch, validate):
+        def step(state, batch, gates, validate):
             rng, r_noise = jax.random.split(state.rng)
             obs = device_process_obs(batch["obs"])
             next_obs = device_process_obs(batch["next_obs"])
@@ -162,7 +162,12 @@ class TD3_BC(PolicyAlgo):
             new_params = dict(state.params)
             new_opts = dict(state.opt_states)
 
-            # ---- critic updates
+            # ---- critic updates (epoch-gated per optim_params, branch-free)
+            def gate_c(a, b):
+                return jax.tree_util.tree_map(
+                    lambda x, y: jnp.where(gates["critic"], x, y), a, b
+                )
+
             for i in range(n):
                 def c_loss(p):
                     q = apply_net(
@@ -177,10 +182,11 @@ class TD3_BC(PolicyAlgo):
                 updates, o = opts[f"critic{i}"].update(
                     g, state.opt_states[f"critic{i}"], state.params[f"critic{i}"]
                 )
-                new_params[f"critic{i}"] = optax.apply_updates(
-                    state.params[f"critic{i}"], updates
+                new_params[f"critic{i}"] = gate_c(
+                    optax.apply_updates(state.params[f"critic{i}"], updates),
+                    state.params[f"critic{i}"],
                 )
-                new_opts[f"critic{i}"] = o
+                new_opts[f"critic{i}"] = gate_c(o, state.opt_states[f"critic{i}"])
 
             # ---- delayed actor update (branch-free via where on mask)
             def a_loss(p):
@@ -200,7 +206,15 @@ class TD3_BC(PolicyAlgo):
                 g_a, state.opt_states["actor"], state.params["actor"]
             )
             cand_actor = optax.apply_updates(state.params["actor"], updates)
-            do_actor = (state.step % update_freq) == 0
+            # the actor-update counter only advances on critic gradient steps
+            # (reference td3_bc.py:393-396), and the actor itself is further
+            # gated by its own optim_params epoch window
+            counter = state.step + jnp.where(
+                jnp.logical_and(gates["critic"], not validate), 1, 0
+            )
+            do_actor = jnp.logical_and(
+                (counter % update_freq) == 0, gates["actor"]
+            )
 
             def select(a, b):
                 return jax.tree_util.tree_map(
@@ -232,12 +246,12 @@ class TD3_BC(PolicyAlgo):
             return (
                 AlgoState(
                     params=new_params, aux=state.aux, opt_states=new_opts,
-                    step=state.step + 1, rng=rng,
+                    step=counter, rng=rng,
                 ),
                 metrics,
             )
 
-        return jax.jit(step, static_argnums=2)
+        return jax.jit(step, static_argnums=3)
 
     def train_on_batch(self, batch, epoch, validate=False):
         batch = {
@@ -252,7 +266,9 @@ class TD3_BC(PolicyAlgo):
         self.ensure_state(batch)
         if self._train_step_jit is None:
             self._train_step_jit = self._build_train_step()
-        self.state, metrics = self._train_step_jit(self.state, batch, validate)
+        self.state, metrics = self._train_step_jit(
+            self.state, batch, *self._extra_step_args(epoch), validate
+        )
         return {"losses": metrics}
 
     def log_info(self, info):
