@@ -121,3 +121,37 @@ def quaternion_to_matrix(quat):
         axis=-1,
     )
     return m.reshape(q.shape[:-1] + (3, 3))
+
+
+def euler_angles_to_matrix(euler, convention="XYZ"):
+    """[..., 3] intrinsic euler angles -> [..., 3, 3] (PyTorch3D convention:
+    R = Rx(a0) @ Ry(a1) @ Rz(a2) for "XYZ"; reference
+    ``TorchUtils.euler_angles_to_matrix``)."""
+    e = np.asarray(euler, dtype=np.float64)
+    assert convention == "XYZ", "only XYZ supported (the reference uses XYZ)"
+
+    def _axis_rot(axis, angle):
+        c, s = np.cos(angle), np.sin(angle)
+        one, zero = np.ones_like(angle), np.zeros_like(angle)
+        if axis == "X":
+            rows = (one, zero, zero, zero, c, -s, zero, s, c)
+        elif axis == "Y":
+            rows = (c, zero, s, zero, one, zero, -s, zero, c)
+        else:
+            rows = (c, -s, zero, s, c, zero, zero, zero, one)
+        return np.stack(rows, axis=-1).reshape(angle.shape + (3, 3))
+
+    mats = [
+        _axis_rot(ax, e[..., i]) for i, ax in enumerate(convention)
+    ]
+    return mats[0] @ mats[1] @ mats[2]
+
+
+def euler_angles_to_quat(euler, convention="XYZ"):
+    """Reference ``TorchUtils.euler_angles_to_quat`` ((w, x, y, z) order)."""
+    return matrix_to_quaternion(euler_angles_to_matrix(euler, convention))
+
+
+def euler_angles_to_rot_6d(euler, convention="XYZ"):
+    """Reference ``TorchUtils.euler_angles_to_rot_6d``."""
+    return matrix_to_rot_6d(euler_angles_to_matrix(euler, convention))

@@ -58,3 +58,21 @@ def test_quaternion_parity(ref):
     # quaternion double cover: compare up to sign
     sign = np.sign(np.sum(q_back_ours * q, axis=-1, keepdims=True))
     np.testing.assert_allclose(q_back_ours * sign, q, atol=1e-4)
+
+
+def test_euler_to_quat_parity(ref):
+    rng = np.random.RandomState(3)
+    e = rng.uniform(-1.2, 1.2, (24, 3)).astype(np.float32)
+    ours = RotUtils.euler_angles_to_quat(e)
+    theirs = ref.euler_angles_to_quat(torch.from_numpy(e)).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+def test_euler_to_rot6d_parity(ref):
+    rng = np.random.RandomState(4)
+    e = rng.uniform(-1.2, 1.2, (24, 3)).astype(np.float32)
+    ours = RotUtils.euler_angles_to_rot_6d(e, "XYZ")
+    theirs = ref.euler_angles_to_rot_6d(
+        torch.from_numpy(e), convention="XYZ"
+    ).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-4)
