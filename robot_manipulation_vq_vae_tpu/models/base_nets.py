@@ -9,7 +9,7 @@ checkpoints) are channels-first; the checkpoint converter transposes.
 """
 
 import math
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax

@@ -8,7 +8,7 @@ the UNet is channels-last ([B, T, C]) for TPU convs.
 """
 
 import math
-from typing import Any, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

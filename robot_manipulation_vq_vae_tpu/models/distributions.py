@@ -8,7 +8,6 @@ distribution-library dependency, everything jit/grad friendly.
 """
 
 import math
-from typing import Optional
 
 import flax.struct
 import jax

@@ -13,7 +13,7 @@ reference:
   * GMM eval uses low-noise sigma 1e-4 (``policy_nets.py:2560-2565``).
 """
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax
@@ -29,15 +29,10 @@ from robot_manipulation_vq_vae_tpu.models.obs_nets import (
     ICL_MIMO_Transformer,
     MIMO_MLP,
     MIMO_Transformer,
-    ObservationDecoder,
     ObservationGroupEncoder,
     group_shapes_spec,
-    _freeze_spec,
 )
 from robot_manipulation_vq_vae_tpu.utils import tensor_utils as TensorUtils
-from robot_manipulation_vq_vae_tpu.utils.initializers import (
-    torch_linear_kernel_init,
-)
 
 _STD_ACTIVATIONS = {
     "softplus": jax.nn.softplus,

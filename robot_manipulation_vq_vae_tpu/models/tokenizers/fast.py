@@ -19,7 +19,6 @@ This module is gated: it requires the artifacts to be available locally
 """
 
 import functools
-from typing import Optional
 
 import flax.linen as nn
 import jax

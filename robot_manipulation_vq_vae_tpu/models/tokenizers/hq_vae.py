@@ -7,7 +7,6 @@ Functional state: the EMA buffers and usage telemetry live in a ``vq``
 variable collection; updates happen when the collection is mutable.
 """
 
-from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -30,7 +30,6 @@ Faithful behavioral details (parity-tested in eval mode):
   * losses: MSE recon + commitment on normalized pairs (:649-685).
 """
 
-from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -17,7 +17,6 @@ for capability parity):
                      to any [B, T]).
 """
 
-from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -13,7 +13,6 @@ is warranted here (the FLOPs live in the obs encoder ResNets).
 """
 
 import math
-from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -17,7 +17,6 @@ import numpy as np
 from robot_manipulation_vq_vae_tpu.models import base_nets as BaseNets
 from robot_manipulation_vq_vae_tpu.models.obs_nets import (
     ObservationGroupEncoder,
-    group_encoder_output_dim,
     group_shapes_spec,
 )
 from robot_manipulation_vq_vae_tpu.utils import loss_utils as LossUtils

@@ -22,7 +22,7 @@ from collections import OrderedDict
 import numpy as np
 
 from robot_manipulation_vq_vae_tpu.config import config_factory
-import robot_manipulation_vq_vae_tpu.algo as AlgoReg
+import robot_manipulation_vq_vae_tpu.algo  # noqa: F401 (registers algos)
 from robot_manipulation_vq_vae_tpu.algo import (
     ICLRolloutPolicy,
     RolloutPolicy,

@@ -15,8 +15,6 @@ loads are explicit. Requires torch only to read the .pth (use
 ``file_utils.load_reference_torch_checkpoint``).
 """
 
-from collections import OrderedDict
-
 import numpy as np
 
 

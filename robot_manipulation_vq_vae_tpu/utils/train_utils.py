@@ -3,7 +3,6 @@ experiment dirs, dataset factory, the epoch loop with timing buckets, env
 rollout loops (plain + ICL), checkpoint-save policy, and model saving.
 """
 
-import json
 import os
 import time
 from collections import OrderedDict
