@@ -92,6 +92,9 @@ class BaseConfig(Config, metaclass=ConfigMeta):
         self.experiment.save.on_best_validation = False
         self.experiment.save.on_best_rollout_return = False
         self.experiment.save.on_best_rollout_success_rate = True
+        # checkpoint on-disk format: "pickle" (single file, reference-style)
+        # or "orbax" (directory; zarr-sharded weights, multi-host-safe)
+        self.experiment.save.format = "pickle"
 
         self.experiment.epoch_every_n_steps = 100
         self.experiment.validation_epoch_every_n_steps = 10

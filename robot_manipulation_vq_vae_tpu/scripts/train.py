@@ -178,7 +178,13 @@ def train(config, eval_only=False):
         # used by config_gen/eval_ckpt.py)
         if ckpt_path is not None and os.path.isdir(ckpt_path):
             epoch_ckpt = os.path.join(ckpt_path, f"model_epoch_{epoch}.ckpt")
-            if os.path.isfile(epoch_ckpt):
+            if not os.path.isfile(epoch_ckpt):
+                orbax_ckpt = os.path.join(
+                    ckpt_path, f"model_epoch_{epoch}.orbax"
+                )
+                if os.path.isdir(orbax_ckpt):
+                    epoch_ckpt = orbax_ckpt
+            if os.path.exists(epoch_ckpt):
                 ckpt = FileUtils.maybe_dict_from_checkpoint(
                     ckpt_path=epoch_ckpt
                 )
@@ -340,12 +346,17 @@ def train(config, eval_only=False):
 
         # save checkpoint (reference train.py:469-479)
         if should_save_ckpt and not eval_only:
+            ckpt_ext = (
+                ".orbax"
+                if config.experiment.save.get("format", "pickle") == "orbax"
+                else ".ckpt"
+            )
             TrainUtils.save_model(
                 model=model,
                 config=config,
                 env_meta=env_meta_list[0],
                 shape_meta=shape_meta,
-                ckpt_path=os.path.join(ckpt_dir, epoch_ckpt_name + ".ckpt"),
+                ckpt_path=os.path.join(ckpt_dir, epoch_ckpt_name + ckpt_ext),
                 obs_normalization_stats=obs_normalization_stats,
                 action_normalization_stats=action_normalization_stats,
             )

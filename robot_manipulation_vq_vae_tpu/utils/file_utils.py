@@ -102,17 +102,63 @@ def get_shape_metadata_from_dataset(dataset_path, action_keys,
 # ---------------------------------------------------------------------------
 
 def save_checkpoint(ckpt_dict, ckpt_path):
+    """Write a self-describing checkpoint.
+
+    Two on-disk formats:
+      * default: one pickle file (mirrors the reference's single ``.pth``);
+      * orbax (``.orbax`` suffix, a directory): the ``model`` weight pytree
+        goes through ``orbax.checkpoint`` (TPU-native: zarr-sharded arrays,
+        multi-host-safe atomic commit), the small metadata rides in a pickle
+        sidecar. Use for large models / multi-host training.
+    """
+    ckpt_path = os.path.expanduser(ckpt_path)
+    if ckpt_path.endswith(".orbax"):
+        return _save_checkpoint_orbax(ckpt_dict, ckpt_path)
     os.makedirs(os.path.dirname(os.path.abspath(ckpt_path)), exist_ok=True)
     with open(ckpt_path, "wb") as f:
         pickle.dump(ckpt_dict, f, protocol=pickle.HIGHEST_PROTOCOL)
 
 
+def _save_checkpoint_orbax(ckpt_dict, ckpt_dir):
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    meta = {k: v for k, v in ckpt_dict.items() if k != "model"}
+    model = ckpt_dict.get("model", {})
+    os.makedirs(ckpt_dir, exist_ok=True)
+    weights_dir = os.path.join(ckpt_dir, "model")
+    # orbax requires a fresh target dir for the atomic-rename commit
+    if os.path.isdir(weights_dir):
+        import shutil
+
+        shutil.rmtree(weights_dir)
+    ocp.PyTreeCheckpointer().save(weights_dir, model)
+    with open(os.path.join(ckpt_dir, "metadata.pkl"), "wb") as f:
+        pickle.dump(meta, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def _load_checkpoint_orbax(ckpt_dir):
+    import orbax.checkpoint as ocp
+
+    with open(os.path.join(ckpt_dir, "metadata.pkl"), "rb") as f:
+        ckpt_dict = pickle.load(f)
+    ckpt_dict["model"] = ocp.PyTreeCheckpointer().restore(
+        os.path.join(ckpt_dir, "model")
+    )
+    return ckpt_dict
+
+
 def maybe_dict_from_checkpoint(ckpt_path=None, ckpt_dict=None):
-    """Load the checkpoint dict if only a path is given (reference :229-248)."""
+    """Load the checkpoint dict if only a path is given (reference :229-248).
+    Accepts both the pickle-file and orbax-directory formats."""
     assert (ckpt_path is not None) or (ckpt_dict is not None)
     if ckpt_dict is None:
-        with open(os.path.expanduser(ckpt_path), "rb") as f:
-            ckpt_dict = pickle.load(f)
+        ckpt_path = os.path.expanduser(ckpt_path)
+        if os.path.isdir(ckpt_path):
+            ckpt_dict = _load_checkpoint_orbax(ckpt_path)
+        else:
+            with open(ckpt_path, "rb") as f:
+                ckpt_dict = pickle.load(f)
     return ckpt_dict
 
 

@@ -182,3 +182,37 @@ def test_policy_from_checkpoint(trained_ckpt):
     ac = policy(ob, context_batch=ctx)
     assert ac.shape == (A,)
     assert np.all(np.isfinite(ac))
+
+
+def test_orbax_checkpoint_roundtrip(trained_ckpt, tmp_path):
+    """Orbax-directory checkpoint format: save/load parity with the pickle
+    format, including policy_from_checkpoint."""
+    import jax
+
+    from robot_manipulation_vq_vae_tpu.utils import file_utils as FileUtils
+
+    ckpt_dict = FileUtils.maybe_dict_from_checkpoint(ckpt_path=trained_ckpt)
+    orbax_path = str(tmp_path / "model_epoch_1.orbax")
+    FileUtils.save_checkpoint(ckpt_dict, orbax_path)
+    assert os.path.isdir(orbax_path)
+
+    restored = FileUtils.maybe_dict_from_checkpoint(ckpt_path=orbax_path)
+    assert restored["algo_name"] == ckpt_dict["algo_name"]
+    orig_leaves = jax.tree_util.tree_leaves(ckpt_dict["model"])
+    rest_leaves = jax.tree_util.tree_leaves(restored["model"])
+    assert len(orig_leaves) == len(rest_leaves)
+    for a, b in zip(orig_leaves, rest_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    policy, _ = FileUtils.policy_from_checkpoint(ckpt_path=orbax_path)
+    rng = np.random.RandomState(0)
+    H = 4
+    ob = {
+        "robot0_eef_pos": rng.randn(H, 3).astype(np.float32),
+        "robot0_gripper_qpos": rng.randn(H, 2).astype(np.float32),
+        "robot0_eye_in_hand_image": rng.rand(H, 16, 16, 3).astype(np.float32),
+    }
+    ctx = {"actions": rng.uniform(-1, 1, (1, H, A)).astype(np.float32)}
+    policy.start_episode(lang="pick the object")
+    ac = policy(ob, context_batch=ctx)
+    assert np.all(np.isfinite(ac))
