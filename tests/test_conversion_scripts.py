@@ -235,3 +235,28 @@ def test_convert_r2d2_pure_parts(tmp_path):
             RotUtils.euler_angles_to_rot_6d(cart_vel[kept, 3:6]),
             atol=1e-6,
         )
+
+
+def test_copy_ds_key_and_filter_size(tmp_path):
+    from robot_manipulation_vq_vae_tpu.scripts.copy_ds_key import copy_ds_keys
+    from robot_manipulation_vq_vae_tpu.scripts.filter_dataset_size import (
+        filter_dataset_size,
+    )
+
+    src = str(tmp_path / "src.hdf5")
+    dst = str(tmp_path / "dst.hdf5")
+    _make_demo_file(src, n_demos=5, with_abs=True)
+    _make_demo_file(dst, n_demos=5)
+
+    copy_ds_keys(src, dst, ["actions_abs"])
+    with h5py.File(src, "r") as fs, h5py.File(dst, "r") as fd:
+        np.testing.assert_array_equal(
+            fd["data/demo_2/actions_abs"][()],
+            fs["data/demo_2/actions_abs"][()],
+        )
+
+    np.random.seed(0)
+    name = filter_dataset_size(dst, num_demos=3)
+    assert name == "3_demos"
+    with h5py.File(dst, "r") as f:
+        assert len(f["mask/3_demos"]) == 3
