@@ -9,12 +9,13 @@ for this model family is a few steps/sec (never published - see BASELINE.md).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 
-def main():
+def main(mixed_precision=False):
     import jax
     import jax.numpy as jnp
 
@@ -69,6 +70,7 @@ def main():
         config.algo.transformer.ln_act_enabled = True
         config.train.batch_size = B
         config.train.max_grad_norm = 100.0
+        config.train.mixed_precision = mixed_precision
     config.lock()
     ObsUtils.initialize_obs_utils_with_config(config)
 
@@ -124,10 +126,11 @@ def main():
                 "unit": "steps/sec (batch 64, 3x128x128 cams)",
                 "samples_per_sec": round(steps_per_sec * B, 1),
                 "compile_sec": round(compile_time, 1),
+                "mixed_precision": bool(mixed_precision),
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main()
+    main(mixed_precision=os.environ.get("RMVQ_BF16", "0") == "1")

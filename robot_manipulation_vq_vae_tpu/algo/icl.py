@@ -614,7 +614,28 @@ class ICLTransformer(ICL):
         vq_opt = self.optimizers.get("vqvae")
         vq_enabled = self.vq_vae_enabled and vqvae is not None
         lambda_rec = getattr(self, "vqvae_lambda_rec", 1.0)
+        # TPU mixed precision: the policy forward/backward (convs +
+        # transformer, where the FLOPs are) runs in bfloat16; the f32 master
+        # params are cast inside loss_fn so gradients come back f32 through
+        # the cast's VJP, and the HVQVAE (EMA codebooks) stays f32.
+        bf16 = bool(
+            self.global_config.train.get("mixed_precision", False)
+        )
         import optax
+
+        def _half(tree):
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                tree,
+            )
+
+        def _full(tree):
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float32)
+                if x.dtype == jnp.bfloat16 else x,
+                tree,
+            )
 
         def step(state, batch, validate):
             rng, rd, rr, rv, rd2 = jax.random.split(state.rng, 5)
@@ -639,14 +660,24 @@ class ICLTransformer(ICL):
                     action_inputs = vq_out["quantized_q"]
 
                 obs = device_process_obs(batch["obs"])
-                pol_vars = {"params": params["policy"], **state.aux["policy"]}
+                pol_params = params["policy"]
+                pol_aux = state.aux["policy"]
+                if bf16:
+                    pol_params = _half(pol_params)
+                    pol_aux = _half(pol_aux)
+                    obs = _half(obs)
+                    if action_inputs is not None:
+                        action_inputs = _half(action_inputs)
+                pol_vars = {"params": pol_params, **pol_aux}
                 mutable = list(state.aux["policy"].keys())
                 acts, pol_mut = policy.apply(
                     pol_vars, obs, actions=action_inputs,
                     train=not validate, mutable=mutable,
                     rngs={"dropout": rd2, "randomizer": rr},
                 )
-                muts["policy"] = pol_mut
+                muts["policy"] = _full(pol_mut) if bf16 else pol_mut
+                if bf16:
+                    acts = acts.astype(jnp.float32)  # losses in f32
                 if not self.supervise_all_steps:
                     acts = acts[:, -1]
                 losses.update(self._action_losses(acts, batch["actions"]))

@@ -147,6 +147,10 @@ class BaseConfig(Config, metaclass=ConfigMeta):
         self.train.max_grad_norm = None
         self.train.data_format = "robomimic"
         self.train.shuffled_obs_key_groups = None
+        # TPU mixed precision: run the policy forward/backward in bfloat16
+        # (params master copy, optimizer math, losses, and VQ codebooks stay
+        # float32). ~2x MXU/conv rate on v5e vs float32.
+        self.train.mixed_precision = False
 
     def algo_config(self):
         """Populated by subclasses."""

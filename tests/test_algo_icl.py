@@ -176,3 +176,36 @@ def test_serialize_roundtrip():
     a1 = np.asarray(algo.get_action(obs, context_batch=ctx))
     a2 = np.asarray(algo2.get_action(obs, context_batch=ctx))
     np.testing.assert_allclose(a1, a2, atol=1e-6)
+
+
+def test_mixed_precision_train_step():
+    """train.mixed_precision=True runs the policy in bfloat16: params stay
+    f32 masters, losses stay finite and close to the f32 run."""
+    def run(mp):
+        config = tiny_config()
+        with config.values_unlocked():
+            config.train.mixed_precision = mp
+        algo = AlgoReg.algo_factory(
+            "icl", config, obs_key_shapes=dict(OBS_KEYS), ac_dim=A
+        )
+        rng = np.random.RandomState(0)
+        logs = []
+        for _ in range(2):
+            batch = algo.process_batch_for_training(make_batch(rng))
+            logs.append(algo.log_info(algo.train_on_batch(batch, epoch=0)))
+        return algo, logs
+
+    algo_f32, logs_f32 = run(False)
+    algo_bf16, logs_bf16 = run(True)
+
+    for leaf in jax.tree_util.tree_leaves(algo_bf16.state.params):
+        assert leaf.dtype != jnp.bfloat16
+    for leaf in jax.tree_util.tree_leaves(algo_bf16.state.aux):
+        assert leaf.dtype != jnp.bfloat16
+    for log in logs_bf16:
+        assert np.isfinite(log["Loss"])
+    # bf16 forward should track the f32 loss closely on step 1
+    rel = abs(logs_bf16[0]["Loss"] - logs_f32[0]["Loss"]) / (
+        abs(logs_f32[0]["Loss"]) + 1e-8
+    )
+    assert rel < 0.05, (logs_bf16[0]["Loss"], logs_f32[0]["Loss"])

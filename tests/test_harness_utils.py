@@ -109,3 +109,46 @@ def test_split_train_val(tmp_path):
     assert len(train) == 8 and len(valid) == 2
     with h5py.File(p, "r") as f:
         assert "mask/train" in f and "mask/valid" in f
+
+
+def test_get_dataset_info_and_playback_images(tmp_path, capsys):
+    """Sim-free script paths: dataset info printing + image playback
+    (reference robomimic/tests/test_scripts.py analogue)."""
+    import h5py
+
+    from robot_manipulation_vq_vae_tpu.scripts.get_dataset_info import (
+        print_dataset_info,
+    )
+
+    p = str(tmp_path / "ds.hdf5")
+    rng = np.random.RandomState(0)
+    with h5py.File(p, "w") as f:
+        grp = f.create_group("data")
+        grp.attrs["env_args"] = '{"env_name": "Fake", "type": 1}'
+        for i, t in enumerate((5, 7)):
+            ep = grp.create_group(f"demo_{i}")
+            ep.create_dataset(
+                "obs/cam_image",
+                data=rng.randint(0, 255, (t, 8, 8, 3), dtype=np.uint8),
+            )
+            ep.create_dataset("actions", data=rng.randn(t, 4))
+            ep.attrs["num_samples"] = t
+
+    print_dataset_info(p)
+    out = capsys.readouterr().out
+    assert "total transitions: 12" in out
+    assert "total trajectories: 2" in out
+
+    try:
+        import imageio  # noqa: F401
+
+        from robot_manipulation_vq_vae_tpu.scripts.playback_dataset import (
+            playback_images,
+        )
+
+        video = str(tmp_path / "playback.mp4")
+        playback_images(p, video, image_keys=["cam_image"], n=2,
+                        video_skip=2)
+        assert os.path.getsize(video) > 0
+    except (ImportError, ValueError):
+        pytest.skip("no mp4 writer available on this host")
