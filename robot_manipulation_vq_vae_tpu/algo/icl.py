@@ -100,6 +100,23 @@ def algo_config_to_class_gmm_paper(algo_config):
 
 
 
+def _cast_half(tree):
+    """float32 -> bfloat16 over a pytree (mixed-precision forward)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
+
+
+def _cast_full(tree):
+    """bfloat16 -> float32 over a pytree."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x,
+        tree,
+    )
+
+
 def _device_batch(batch):
     """Convert a processed numpy batch to device arrays (obs/goal/actions)."""
     out = {
@@ -623,19 +640,7 @@ class ICLTransformer(ICL):
         )
         import optax
 
-        def _half(tree):
-            return jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.bfloat16)
-                if jnp.issubdtype(x.dtype, jnp.floating) else x,
-                tree,
-            )
-
-        def _full(tree):
-            return jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.float32)
-                if x.dtype == jnp.bfloat16 else x,
-                tree,
-            )
+        _half, _full = _cast_half, _cast_full
 
         def step(state, batch, validate):
             rng, rd, rr, rv, rd2 = jax.random.split(state.rng, 5)
@@ -927,6 +932,7 @@ class ICLTransformer_GMM(ICLTransformer):
         vq_opt = self.optimizers.get("vq_tokenizer")
         vq_enabled = self.vq_vae_enabled
         supervise_all = self.supervise_all_steps
+        bf16 = bool(self.global_config.train.get("mixed_precision", False))
         import optax
 
         def forward(params, state, batch, train, rngs):
@@ -935,7 +941,17 @@ class ICLTransformer_GMM(ICLTransformer):
             ctx_obs = {k: v[:mid] for k, v in obs.items()}
             tr_obs = {k: v[mid:] for k, v in obs.items()}
             ctx_act, tr_act = batch["actions"][:mid], batch["actions"][mid:]
-            variables = {"params": params["policy"], **state.aux["policy"]}
+            pol_params = params["policy"]
+            pol_aux = state.aux["policy"]
+            if bf16:
+                # forward/backward in bf16; the GMM log-prob, losses, and
+                # optimizer math stay f32 (grads return f32 via the cast VJP)
+                pol_params = _cast_half(pol_params)
+                pol_aux = _cast_half(pol_aux)
+                ctx_obs = _cast_half(ctx_obs)
+                tr_obs = _cast_half(tr_obs)
+                ctx_act = _cast_half(ctx_act)
+            variables = {"params": pol_params, **pol_aux}
             mutable = list(state.aux["policy"].keys())
             (dist, vq_loss), muts = policy.apply(
                 variables, tr_obs, ctx_obs, ctx_act,
@@ -943,6 +959,10 @@ class ICLTransformer_GMM(ICLTransformer):
                 mutable=mutable, rngs=rngs,
                 method=policy.forward_train,
             )
+            if bf16:
+                dist = _cast_full(dist)
+                vq_loss = jnp.asarray(vq_loss, jnp.float32)
+                muts = _cast_full(muts)
             if not supervise_all:
                 dist = dist.index_time(-1)
                 tr_act = tr_act[:, -1]

@@ -209,3 +209,22 @@ def test_mixed_precision_train_step():
         abs(logs_f32[0]["Loss"]) + 1e-8
     )
     assert rel < 0.05, (logs_bf16[0]["Loss"], logs_f32[0]["Loss"])
+
+
+def test_mixed_precision_gmm_paper_path():
+    """bf16 forward on the LipVQ GMM path: finite NLL/VQ losses, f32
+    masters, tokenizer optimizer still applies."""
+    config = tiny_config(gmm=True)
+    with config.values_unlocked():
+        config.train.mixed_precision = True
+    algo = AlgoReg.algo_factory(
+        "icl_gmm_paper", config, obs_key_shapes=dict(OBS_KEYS), ac_dim=A
+    )
+    rng = np.random.RandomState(2)
+    for _ in range(2):
+        batch = algo.process_batch_for_training(make_batch(rng))
+        log = algo.log_info(algo.train_on_batch(batch, epoch=0))
+        assert np.isfinite(log["Loss"])
+        assert np.isfinite(log["Log_Likelihood"])
+    for leaf in jax.tree_util.tree_leaves(algo.state.params):
+        assert leaf.dtype != jnp.bfloat16
