@@ -36,3 +36,35 @@ def load_bin_reference():
         REFERENCE_ROOT + "/robomimic/models/bin_action/backbone.py",
         "ref_bin_backbone",
     )
+
+
+def ensure_torchvision_stub():
+    """The reference's base_nets imports torchvision at module scope; only
+    the (unused here) ResNet classes touch it, so stub it out."""
+    import types
+
+    for name in (
+        "torchvision", "torchvision.models", "torchvision.transforms",
+        "torchvision.transforms.functional",
+    ):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.__path__ = []
+            sys.modules[name] = mod
+    tvt = sys.modules["torchvision.transforms"]
+    if not hasattr(tvt, "Lambda"):
+        tvt.Lambda = lambda f: f
+        tvt.Compose = lambda fs: fs
+        tvt.ColorJitter = object
+    sys.modules["torchvision"].models = sys.modules["torchvision.models"]
+    sys.modules["torchvision"].transforms = tvt
+    tvt.functional = sys.modules["torchvision.transforms.functional"]
+
+
+def load_base_nets_reference():
+    ensure_torchvision_stub()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import importlib
+
+    return importlib.import_module("robomimic.models.base_nets")
