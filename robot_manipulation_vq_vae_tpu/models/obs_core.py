@@ -282,11 +282,55 @@ class CropRandomizer(Randomizer):
         return x.reshape((b, self.num_crops) + x.shape[1:]).mean(axis=1)
 
 
-class ColorRandomizer(Randomizer):
-    """Brightness/contrast/saturation jitter (reference obs_core.py:705-860).
+def rgb_to_hsv(rgb):
+    """[..., 3] in [0, 1] -> HSV (colorsys semantics, branch-free)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.max(rgb, axis=-1)
+    minc = jnp.min(rgb, axis=-1)
+    v = maxc
+    rangec = maxc - minc
+    safe_max = jnp.where(maxc > 0, maxc, 1.0)
+    s = jnp.where(maxc > 0, rangec / safe_max, 0.0)
+    safe_range = jnp.where(rangec > 0, rangec, 1.0)
+    rc = (maxc - r) / safe_range
+    gc = (maxc - g) / safe_range
+    bc = (maxc - b) / safe_range
+    h = jnp.where(
+        r == maxc, bc - gc,
+        jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc),
+    )
+    h = jnp.where(rangec > 0, (h / 6.0) % 1.0, 0.0)
+    return jnp.stack([h, s, v], axis=-1)
 
-    Divergence: hue jitter is approximated by a channel-mix rotation rather
-    than an exact HSV roundtrip (not used by any shipped config)."""
+
+def hsv_to_rgb(hsv):
+    """HSV [..., 3] -> RGB in [0, 1] (colorsys semantics, branch-free)."""
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [v, q, p, p, t], v)
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [t, v, v, q, p], p)
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [p, p, t, v, v], q)
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def adjust_hue(x, factor):
+    """Shift hue by @factor turns (torchvision ``adjust_hue`` semantics:
+    factor in [-0.5, 0.5], wraps mod 1)."""
+    hsv = rgb_to_hsv(x)
+    h = (hsv[..., 0:1] + factor) % 1.0
+    return hsv_to_rgb(jnp.concatenate([h, hsv[..., 1:]], axis=-1))
+
+
+class ColorRandomizer(Randomizer):
+    """Brightness/contrast/saturation/hue jitter (reference
+    obs_core.py:705-860). Hue uses an exact HSV roundtrip; the remaining
+    divergence vs torchvision's ColorJitter is that the four jitters apply
+    in a fixed order rather than a per-call random order (see PARITY.md)."""
 
     def __init__(self, input_shape, brightness=0.3, contrast=0.3, saturation=0.3,
                  hue=0.3, num_samples=1):
@@ -304,7 +348,7 @@ class ColorRandomizer(Randomizer):
         b = x.shape[0]
         n = self.num_samples
         x = jnp.repeat(x, n, axis=0)
-        rb, rc, rs = jax.random.split(rng, 3)
+        rb, rc, rs, rh = jax.random.split(rng, 4)
         shape = (b * n,) + (1,) * (x.ndim - 1)
         if self.brightness > 0:
             f = jax.random.uniform(
@@ -326,6 +370,11 @@ class ColorRandomizer(Randomizer):
             )
             gray = jnp.mean(x, axis=-1, keepdims=True)
             x = gray + (x - gray) * f
+        if self.hue > 0:
+            f = jax.random.uniform(
+                rh, shape, minval=-self.hue, maxval=self.hue
+            )
+            x = adjust_hue(jnp.clip(x, 0.0, 1.0), f)
         return jnp.clip(x, 0.0, 1.0)
 
     def forward_out(self, x):

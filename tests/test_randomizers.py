@@ -86,3 +86,36 @@ def test_obs_normalize_unnormalize_roundtrip():
     np.testing.assert_allclose(norm["eef"], [[1.0, 2.0], [2.0, 4.0]])
     back = ObsUtils.unnormalize_dict(norm, stats)
     np.testing.assert_allclose(back["eef"], obs["eef"])
+
+
+def test_hsv_roundtrip_vs_colorsys():
+    """rgb<->hsv matches python's colorsys per pixel; adjust_hue shifts
+    exactly (torchvision semantics)."""
+    import colorsys
+
+    import jax.numpy as jnp
+
+    from robot_manipulation_vq_vae_tpu.models.obs_core import (
+        adjust_hue,
+        hsv_to_rgb,
+        rgb_to_hsv,
+    )
+
+    rng = np.random.RandomState(0)
+    rgb = rng.rand(64, 3).astype(np.float32)
+    hsv = np.asarray(rgb_to_hsv(jnp.asarray(rgb)))
+    for i in range(rgb.shape[0]):
+        expect = colorsys.rgb_to_hsv(*rgb[i])
+        np.testing.assert_allclose(hsv[i], expect, atol=1e-5)
+    back = np.asarray(hsv_to_rgb(jnp.asarray(hsv)))
+    np.testing.assert_allclose(back, rgb, atol=1e-5)
+
+    # hue shift: +0.25 turns then -0.25 turns is identity
+    shifted = adjust_hue(jnp.asarray(rgb), 0.25)
+    restored = np.asarray(adjust_hue(shifted, -0.25))
+    np.testing.assert_allclose(restored, rgb, atol=1e-5)
+    # and the hue channel moved by exactly 0.25 (mod 1) where saturated
+    h_shift = np.asarray(rgb_to_hsv(shifted))[:, 0]
+    expected = (hsv[:, 0] + 0.25) % 1.0
+    sat = hsv[:, 1] > 1e-3
+    np.testing.assert_allclose(h_shift[sat], expected[sat], atol=1e-5)
