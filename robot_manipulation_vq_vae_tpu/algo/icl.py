@@ -27,6 +27,7 @@ Reference behaviors reproduced exactly (with citations):
     [h-1 : h-1+h] when pred_future_acs (icl.py:806-845).
 """
 
+import os
 from collections import OrderedDict
 
 import jax
@@ -745,7 +746,12 @@ class ICLTransformer(ICL):
                 metrics,
             )
 
-        return jax.jit(step, static_argnums=2)
+        # RMVQ_DONATE=1 lets XLA alias the old state's buffers into the new
+        # state (halves param+opt HBM residency). Production-safe - the old
+        # AlgoState is dropped each step; off by default so callers may keep
+        # references to previous states (tests do).
+        donate = (0,) if os.environ.get("RMVQ_DONATE") == "1" else ()
+        return jax.jit(step, static_argnums=2, donate_argnums=donate)
 
 
 class ICLTransformerHVQVAE(ICLTransformer):

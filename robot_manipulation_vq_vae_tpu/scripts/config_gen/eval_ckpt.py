@@ -12,8 +12,9 @@ import tempfile
 from robot_manipulation_vq_vae_tpu.utils import file_utils as FileUtils
 
 
-def main(args):
-    ckpt_dict = FileUtils.maybe_dict_from_checkpoint(ckpt_path=args.ckpt)
+def run_from_ckpt_dict(ckpt_dict, args):
+    """Write the eval config + emit/launch the train --eval_only command.
+    Shared with eval_icl_ckpt.py."""
     cfg = json.loads(ckpt_dict["config"])
 
     cfg["experiment"]["ckpt_path"] = args.ckpt
@@ -38,6 +39,12 @@ def main(args):
     print(cmd)
     if args.run:
         os.system(cmd)
+    return out_path
+
+
+def main(args):
+    ckpt_dict = FileUtils.maybe_dict_from_checkpoint(ckpt_path=args.ckpt)
+    return run_from_ckpt_dict(ckpt_dict, args)
 
 
 if __name__ == "__main__":
