@@ -15,7 +15,7 @@ import time
 import numpy as np
 
 
-def main(mixed_precision=False):
+def main(mixed_precision=False, batch_size=64):
     import jax
     import jax.numpy as jnp
 
@@ -24,7 +24,7 @@ def main(mixed_precision=False):
     from robot_manipulation_vq_vae_tpu.utils import obs_utils as ObsUtils
     import robot_manipulation_vq_vae_tpu.algo as AlgoReg
 
-    B, H = 64, 16
+    B, H = batch_size, 16
     A = 12
     IMG = (128, 128, 3)
     LOW_DIM = {
@@ -123,7 +123,7 @@ def main(mixed_precision=False):
             {
                 "metric": "icl_hvqvae_train_step_throughput",
                 "value": round(steps_per_sec, 3),
-                "unit": "steps/sec (batch 64, 3x128x128 cams)",
+                "unit": f"steps/sec (batch {B}, 3x128x128 cams)",
                 "samples_per_sec": round(steps_per_sec * B, 1),
                 "compile_sec": round(compile_time, 1),
                 "mixed_precision": bool(mixed_precision),
@@ -133,4 +133,7 @@ def main(mixed_precision=False):
 
 
 if __name__ == "__main__":
-    main(mixed_precision=os.environ.get("RMVQ_BF16", "0") == "1")
+    main(
+        mixed_precision=os.environ.get("RMVQ_BF16", "0") == "1",
+        batch_size=int(os.environ.get("RMVQ_BATCH", "64")),
+    )

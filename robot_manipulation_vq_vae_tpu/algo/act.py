@@ -299,13 +299,19 @@ class ACT(PolicyAlgo):
         """Action chunking: predict a chunk, pop actions one at a time
         (reference act.py:170-210)."""
         if not self._ac_queue:
-            obs = device_process_obs(
-                {k: jnp.asarray(v) for k, v in obs_dict.items()}
-            )
-            variables = {"params": self.state.params["policy"],
-                         **self.state.aux["policy"]}
+            policy = self.nets["policy"]
+
+            def infer(params, aux, obs):
+                return policy.apply(
+                    {"params": params, **aux}, device_process_obs(obs),
+                    train=False,
+                )
+
             chunk = np.asarray(
-                self.nets["policy"].apply(variables, obs, train=False)
+                self._cached_jit("get_action", infer)(
+                    self.state.params["policy"], self.state.aux["policy"],
+                    {k: jnp.asarray(v) for k, v in obs_dict.items()},
+                )
             )
             self._ac_queue = [chunk[:, i] for i in range(chunk.shape[1])]
         return self._ac_queue.pop(0)

@@ -95,6 +95,7 @@ class Algo:
         self.state = None       # AlgoState (lazy init on first batch)
         self._pending_load = None
         self._train_step_jit = None
+        self._jit_cache = {}
         self._training = True
 
         self._create_shapes(obs_config.modalities, obs_key_shapes)
@@ -237,6 +238,14 @@ class Algo:
         BCQ consume per-net epoch-window gates (reference td3_bc.py:126-136,
         bcq.py:140-150); algos without epoch windows (CQL) override to ()."""
         return (self._epoch_gates(epoch),)
+
+    def _cached_jit(self, key, fn):
+        """Compile-once cache for inference-path functions (get_action and
+        friends): the reference pays per-op dispatch every env step; here
+        each path compiles on first use and replays as one device call."""
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
 
     # mode toggles are no-ops in the functional design (train/eval behavior
     # is an explicit argument to the jitted functions), kept for API compat

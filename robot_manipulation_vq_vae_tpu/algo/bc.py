@@ -203,12 +203,18 @@ class BC_VAE(ICL):
         return log
 
     def get_action(self, obs_dict, goal_dict=None):
-        obs = device_process_obs({k: jnp.asarray(v) for k, v in obs_dict.items()})
-        variables = {"params": self.state.params["policy"],
-                     **self.state.aux["policy"]}
+        policy = self.nets["policy"]
+
+        def infer(params, aux, obs, key):
+            return policy.apply(
+                {"params": params, **aux}, device_process_obs(obs),
+                train=False, rngs={"latent": key},
+            )
+
         self._init_rng, key = jax.random.split(self._init_rng)
-        return self.nets["policy"].apply(
-            variables, obs, train=False, rngs={"latent": key}
+        return self._cached_jit("get_action", infer)(
+            self.state.params["policy"], self.state.aux["policy"],
+            {k: jnp.asarray(v) for k, v in obs_dict.items()}, key,
         )
 
 
@@ -217,11 +223,19 @@ class BC_Transformer(ICLTransformer):
     rollout, output selected by pred_future_acs rule."""
 
     def get_action(self, obs_dict, goal_dict=None):
-        obs = device_process_obs({k: jnp.asarray(v) for k, v in obs_dict.items()})
-        variables = {"params": self.state.params["policy"],
-                     **self.state.aux["policy"]}
-        out = self.nets["policy"].apply(variables, obs, train=False)
-        return self._select_output(out)
+        policy = self.nets["policy"]
+
+        def infer(params, aux, obs):
+            out = policy.apply(
+                {"params": params, **aux}, device_process_obs(obs),
+                train=False,
+            )
+            return self._select_output(out)
+
+        return self._cached_jit("get_action", infer)(
+            self.state.params["policy"], self.state.aux["policy"],
+            {k: jnp.asarray(v) for k, v in obs_dict.items()},
+        )
 
 
 class BC_Transformer_GMM(BC_Transformer):
@@ -309,10 +323,17 @@ class BC_Transformer_GMM(BC_Transformer):
         return log
 
     def get_action(self, obs_dict, goal_dict=None):
-        obs = device_process_obs({k: jnp.asarray(v) for k, v in obs_dict.items()})
-        variables = {"params": self.state.params["policy"],
-                     **self.state.aux["policy"]}
-        dist = self.nets["policy"].apply(variables, obs, train=False)
+        policy = self.nets["policy"]
+
+        def infer(params, aux, obs, key):
+            dist = policy.apply(
+                {"params": params, **aux}, device_process_obs(obs),
+                train=False,
+            )
+            return self._select_output(dist.sample(key))
+
         self._init_rng, key = jax.random.split(self._init_rng)
-        out = dist.sample(key)
-        return self._select_output(out)
+        return self._cached_jit("get_action", infer)(
+            self.state.params["policy"], self.state.aux["policy"],
+            {k: jnp.asarray(v) for k, v in obs_dict.items()}, key,
+        )

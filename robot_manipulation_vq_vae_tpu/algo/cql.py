@@ -424,7 +424,15 @@ class CQL(PolicyAlgo):
         return log
 
     def get_action(self, obs_dict, goal_dict=None):
-        obs = device_process_obs({k: jnp.asarray(v) for k, v in obs_dict.items()})
-        variables = {"params": self.state.params["actor"],
-                     **self.state.aux["actor"]}
-        return self.nets["actor"].apply(variables, obs, train=False)
+        actor = self.nets["actor"]
+
+        def infer(params, aux, obs):
+            return actor.apply(
+                {"params": params, **aux}, device_process_obs(obs),
+                train=False,
+            )
+
+        return self._cached_jit("get_action", infer)(
+            self.state.params["actor"], self.state.aux["actor"],
+            {k: jnp.asarray(v) for k, v in obs_dict.items()},
+        )

@@ -203,11 +203,14 @@ class DiffusionPolicyUNet(PolicyAlgo):
     def log_info(self, info):
         return OrderedDict(Loss=float(info["losses"]["l2_loss"]))
 
-    def _sample(self, rng, cond):
+    def _sample(self, rng, cond, pol_params=None, pol_aux=None):
         """Iterative denoising from pure noise (DDPM or DDIM)."""
         policy = self.nets["policy"]
-        name = "policy_ema" if self.ema_enabled else "policy"
-        pol_params = self.state.params[name]
+        if pol_params is None:
+            name = "policy_ema" if self.ema_enabled else "policy"
+            pol_params = self.state.params[name]
+        if pol_aux is None:
+            pol_aux = self.state.aux["policy"]
         b = cond.shape[0]
         x = jax.random.normal(rng, (b, self.Tp, self.ac_dim))
         sched = self.schedule
@@ -220,7 +223,7 @@ class DiffusionPolicyUNet(PolicyAlgo):
                 t = ts[i]
                 t_prev = ts[i + 1] if i + 1 < n_inf else -1
                 eps = policy.apply(
-                    {"params": pol_params, **self.state.aux["policy"]},
+                    {"params": pol_params, **pol_aux},
                     x, jnp.full((b,), t), cond,
                 )
                 x = sched.ddim_step(x, eps, t, t_prev)
@@ -228,23 +231,32 @@ class DiffusionPolicyUNet(PolicyAlgo):
             for t in range(n_train - 1, -1, -1):
                 rng, sub = jax.random.split(rng)
                 eps = policy.apply(
-                    {"params": pol_params, **self.state.aux["policy"]},
+                    {"params": pol_params, **pol_aux},
                     x, jnp.full((b,), t), cond,
                 )
                 x = sched.ddpm_step(sub, x, eps, t)
         return x
 
     def get_action(self, obs_dict, goal_dict=None):
-        obs = device_process_obs(
-            {k: jnp.asarray(v)[:, -self.To :] for k, v in obs_dict.items()}
-        )
+        """Whole pipeline (cond encode + full denoising loop) is ONE jitted
+        device call - the reference dispatches every denoise step."""
         enc_name = "obs_encoder_ema" if self.ema_enabled else "obs_encoder"
-        cond = self._encode_cond(
-            self.state.params[enc_name], self.state.aux["obs_encoder"], obs,
-            train=False,
-        )
+        pol_name = "policy_ema" if self.ema_enabled else "policy"
+
+        def infer(params, aux, obs, key):
+            obs = device_process_obs(obs)
+            cond = self._encode_cond(
+                params[enc_name], aux["obs_encoder"], obs, train=False
+            )
+            seq = self._sample(
+                key, cond, pol_params=params[pol_name], pol_aux=aux["policy"]
+            )
+            # receding horizon: first action after the obs window
+            return seq[:, self.To - 1]
+
         self._init_rng, key = jax.random.split(self._init_rng)
-        seq = self._sample(key, cond)  # [B, Tp, A]
-        # receding horizon: return the first action after the obs window
-        start = self.To - 1
-        return seq[:, start]
+        return self._cached_jit("get_action", infer)(
+            self.state.params, self.state.aux,
+            {k: jnp.asarray(v)[:, -self.To:] for k, v in obs_dict.items()},
+            key,
+        )

@@ -167,10 +167,18 @@ class GL(PlannerAlgo):
         return log
 
     def get_subgoal_predictions(self, obs_dict, goal_dict=None):
-        obs = device_process_obs({k: jnp.asarray(v) for k, v in obs_dict.items()})
-        variables = {"params": self.state.params["goal_network"],
-                     **self.state.aux["goal_network"]}
-        return self.nets["goal_network"].apply(variables, obs, goal_dict=goal_dict)
+        net = self.nets["goal_network"]
+
+        def infer(params, aux, obs, goal):
+            return net.apply(
+                {"params": params, **aux}, device_process_obs(obs),
+                goal_dict=goal,
+            )
+
+        return self._cached_jit("get_subgoal_predictions", infer)(
+            self.state.params["goal_network"], self.state.aux["goal_network"],
+            {k: jnp.asarray(v) for k, v in obs_dict.items()}, goal_dict,
+        )
 
     def sample_subgoals(self, obs_dict, goal_dict=None, num_samples=1):
         """Deterministic predictor: tile the single prediction
@@ -380,12 +388,18 @@ class GL_VAE(GL):
         return jax.jit(step, static_argnums=2)
 
     def get_subgoal_predictions(self, obs_dict, goal_dict=None):
-        obs = device_process_obs({k: jnp.asarray(v) for k, v in obs_dict.items()})
-        variables = {"params": self.state.params["goal_network"],
-                     **self.state.aux["goal_network"]}
+        net = self.nets["goal_network"]
+
+        def infer(params, aux, obs, goal, key):
+            return net.apply(
+                {"params": params, **aux}, device_process_obs(obs),
+                goal_dict=goal, rngs={"latent": key},
+            )
+
         self._init_rng, key = jax.random.split(self._init_rng)
-        return self.nets["goal_network"].apply(
-            variables, obs, goal_dict=goal_dict, rngs={"latent": key}
+        return self._cached_jit("get_subgoal_predictions", infer)(
+            self.state.params["goal_network"], self.state.aux["goal_network"],
+            {k: jnp.asarray(v) for k, v in obs_dict.items()}, goal_dict, key,
         )
 
     def sample_subgoals(self, obs_dict, goal_dict=None, num_samples=1):

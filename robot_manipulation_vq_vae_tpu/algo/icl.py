@@ -269,15 +269,22 @@ class ICL(PolicyAlgo):
 
     def get_action(self, obs_dict, goal_dict=None):
         assert self.state is not None
-        obs = device_process_obs({k: jnp.asarray(v) for k, v in obs_dict.items()})
-        if goal_dict is not None:
-            goal_dict = device_process_obs(
-                {k: jnp.asarray(v) for k, v in goal_dict.items()}
+        policy = self.nets["policy"]
+
+        def infer(params, aux, obs, goal):
+            obs = device_process_obs(obs)
+            if goal is not None:
+                goal = device_process_obs(goal)
+            return policy.apply(
+                {"params": params, **aux}, obs, goal_dict=goal, train=False
             )
-        variables = {"params": self.state.params["policy"],
-                     **self.state.aux["policy"]}
-        return self.nets["policy"].apply(
-            variables, obs, goal_dict=goal_dict, train=False
+
+        return self._cached_jit("get_action", infer)(
+            self.state.params["policy"], self.state.aux["policy"],
+            {k: jnp.asarray(v) for k, v in obs_dict.items()},
+            None if goal_dict is None else {
+                k: jnp.asarray(v) for k, v in goal_dict.items()
+            },
         )
 
 
@@ -355,11 +362,19 @@ class ICLGaussian(ICL):
         return jax.jit(step, static_argnums=2)
 
     def get_action(self, obs_dict, goal_dict=None):
-        obs = device_process_obs({k: jnp.asarray(v) for k, v in obs_dict.items()})
-        variables = {"params": self.state.params["policy"],
-                     **self.state.aux["policy"]}
-        dist = self.nets["policy"].apply(variables, obs, train=False)
-        return dist.mean  # low-noise eval
+        policy = self.nets["policy"]
+
+        def infer(params, aux, obs):
+            dist = policy.apply(
+                {"params": params, **aux}, device_process_obs(obs),
+                train=False,
+            )
+            return dist.mean  # low-noise eval
+
+        return self._cached_jit("get_action", infer)(
+            self.state.params["policy"], self.state.aux["policy"],
+            {k: jnp.asarray(v) for k, v in obs_dict.items()},
+        )
 
 
 class ICLGMM(ICLGaussian):
@@ -379,12 +394,20 @@ class ICLGMM(ICLGaussian):
         )
 
     def get_action(self, obs_dict, goal_dict=None):
-        obs = device_process_obs({k: jnp.asarray(v) for k, v in obs_dict.items()})
-        variables = {"params": self.state.params["policy"],
-                     **self.state.aux["policy"]}
-        dist = self.nets["policy"].apply(variables, obs, train=False)
+        policy = self.nets["policy"]
+
+        def infer(params, aux, obs, key):
+            dist = policy.apply(
+                {"params": params, **aux}, device_process_obs(obs),
+                train=False,
+            )
+            return dist.sample(key)
+
         self._init_rng, key = jax.random.split(self._init_rng)
-        return dist.sample(key)
+        return self._cached_jit("get_action", infer)(
+            self.state.params["policy"], self.state.aux["policy"],
+            {k: jnp.asarray(v) for k, v in obs_dict.items()}, key,
+        )
 
 
 class ICLRNN(ICL):
@@ -414,12 +437,20 @@ class ICLRNN_GMM(ICLRNN):
     """RNN-GMM ICL (reference icl.py:664)."""
 
     def get_action(self, obs_dict, goal_dict=None):
-        obs = device_process_obs({k: jnp.asarray(v) for k, v in obs_dict.items()})
-        variables = {"params": self.state.params["policy"],
-                     **self.state.aux["policy"]}
-        dist = self.nets["policy"].apply(variables, obs, train=False)
+        policy = self.nets["policy"]
+
+        def infer(params, aux, obs, key):
+            dist = policy.apply(
+                {"params": params, **aux}, device_process_obs(obs),
+                train=False,
+            )
+            return dist.sample(key)[:, -1]
+
         self._init_rng, key = jax.random.split(self._init_rng)
-        return dist.sample(key)[:, -1]
+        return self._cached_jit("get_action", infer)(
+            self.state.params["policy"], self.state.aux["policy"],
+            {k: jnp.asarray(v) for k, v in obs_dict.items()}, key,
+        )
 
     def _create_networks(self):
         self.nets["policy"] = PolicyNets.RNNGMMActorNetwork(
@@ -599,14 +630,20 @@ class ICLTransformer(ICL):
         return output[:, -1]
 
     def get_action(self, obs_dict, context_batch, goal_dict=None):
-        obs = device_process_obs({k: jnp.asarray(v) for k, v in obs_dict.items()})
-        variables = {"params": self.state.params["policy"],
-                     **self.state.aux["policy"]}
-        out = self.nets["policy"].apply(
-            variables, obs, actions=jnp.asarray(context_batch["actions"]),
-            train=False,
+        policy = self.nets["policy"]
+
+        def infer(params, aux, obs, ctx_actions):
+            out = policy.apply(
+                {"params": params, **aux}, device_process_obs(obs),
+                actions=ctx_actions, train=False,
+            )
+            return self._select_output(out)
+
+        return self._cached_jit("get_action", infer)(
+            self.state.params["policy"], self.state.aux["policy"],
+            {k: jnp.asarray(v) for k, v in obs_dict.items()},
+            jnp.asarray(context_batch["actions"]),
         )
-        return self._select_output(out)
 
     def _init_variables(self, rng, batch):
         r1, r2 = jax.random.split(rng)
@@ -834,24 +871,31 @@ class ICLTransformerHVQVAE(ICLTransformer):
 
     def get_action(self, obs_dict, context_batch, goal_dict=None):
         """VQ-VAE-reconstruct context actions, feed to policy
-        (reference icl.py:1302-1354)."""
-        obs = device_process_obs({k: jnp.asarray(v) for k, v in obs_dict.items()})
-        context_actions = jnp.asarray(context_batch["actions"])
-        if self.vq_vae_enabled:
-            vq_vars = {"params": self.state.params["vqvae"],
-                       **self.state.aux["vqvae"]}
-            vq_out = self.nets["vqvae"].apply(
-                vq_vars, context_actions, training=False
+        (reference icl.py:1302-1354). One jitted device call."""
+        policy = self.nets["policy"]
+        vqvae = self.nets.get("vqvae")
+        vq_enabled = self.vq_vae_enabled and vqvae is not None
+
+        def infer(params, aux, obs, ctx_actions):
+            if vq_enabled:
+                vq_out = vqvae.apply(
+                    {"params": params["vqvae"], **aux["vqvae"]},
+                    ctx_actions, training=False,
+                )
+                action_inputs = vq_out["reconstructed_actions"]
+            else:
+                action_inputs = ctx_actions
+            out = policy.apply(
+                {"params": params["policy"], **aux["policy"]},
+                device_process_obs(obs), actions=action_inputs, train=False,
             )
-            action_inputs = vq_out["reconstructed_actions"]
-        else:
-            action_inputs = context_actions
-        pol_vars = {"params": self.state.params["policy"],
-                    **self.state.aux["policy"]}
-        out = self.nets["policy"].apply(
-            pol_vars, obs, actions=action_inputs, train=False
+            return self._select_output(out)
+
+        return self._cached_jit("get_action", infer)(
+            self.state.params, self.state.aux,
+            {k: jnp.asarray(v) for k, v in obs_dict.items()},
+            jnp.asarray(context_batch["actions"]),
         )
-        return self._select_output(out)
 
     def on_epoch_end(self, epoch):
         pass
@@ -1065,16 +1109,20 @@ class ICLTransformer_GMM(ICLTransformer):
         return log
 
     def get_action(self, obs_dict, context_batch, goal_dict=None):
-        obs = device_process_obs({k: jnp.asarray(v) for k, v in obs_dict.items()})
-        ctx_obs = device_process_obs(
-            {k: jnp.asarray(v) for k, v in context_batch["obs"].items()}
-        )
-        pol_vars = {"params": self.state.params["policy"],
-                    **self.state.aux["policy"]}
-        dist, _ = self.nets["policy"].apply(
-            pol_vars, obs, ctx_obs, jnp.asarray(context_batch["actions"]),
-            train=False, method=self.nets["policy"].forward_train,
-        )
+        policy = self.nets["policy"]
+
+        def infer(params, aux, obs, ctx_obs, ctx_actions, key):
+            dist, _ = policy.apply(
+                {"params": params, **aux}, device_process_obs(obs),
+                device_process_obs(ctx_obs), ctx_actions,
+                train=False, method=policy.forward_train,
+            )
+            return self._select_output(dist.sample(key))
+
         self._init_rng, key = jax.random.split(self._init_rng)
-        out = dist.sample(key)
-        return self._select_output(out)
+        return self._cached_jit("get_action", infer)(
+            self.state.params["policy"], self.state.aux["policy"],
+            {k: jnp.asarray(v) for k, v in obs_dict.items()},
+            {k: jnp.asarray(v) for k, v in context_batch["obs"].items()},
+            jnp.asarray(context_batch["actions"]), key,
+        )
