@@ -19,6 +19,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from robot_manipulation_vq_vae_tpu.utils.train_utils import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
+
     from robot_manipulation_vq_vae_tpu.models.tokenizers import LipVQVAE
 
     FEATURE_DIM = 12

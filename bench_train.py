@@ -19,6 +19,12 @@ def main(mixed_precision=False, batch_size=64):
     import jax
     import jax.numpy as jnp
 
+    from robot_manipulation_vq_vae_tpu.utils.train_utils import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
+
     from robot_manipulation_vq_vae_tpu.config import config_factory
     from robot_manipulation_vq_vae_tpu.models import obs_core  # noqa: F401
     from robot_manipulation_vq_vae_tpu.utils import obs_utils as ObsUtils

@@ -379,6 +379,7 @@ def train(config, eval_only=False):
 
 
 def main(args):
+    TrainUtils.enable_compile_cache()
     if args.config is not None:
         with open(args.config) as f:
             ext_cfg = json.load(f)

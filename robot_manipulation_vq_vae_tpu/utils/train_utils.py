@@ -19,6 +19,19 @@ from robot_manipulation_vq_vae_tpu.utils import log_utils as LogUtils
 from robot_manipulation_vq_vae_tpu.utils import tensor_utils as TensorUtils
 
 
+def enable_compile_cache(cache_dir="/tmp/rmvq_jax_cache"):
+    """Turn on JAX's persistent compilation cache (safe to call repeatedly).
+    Saves minutes per process on tunneled TPU backends where every fresh
+    compile is a remote round-trip."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax or unsupported backend
+
+
 def get_exp_dir(config, auto_remove_exp_dir=False):
     """Create the timestamped experiment directory tree
     (reference train_utils.py:32-92). Returns (log_dir, ckpt_dir, video_dir,
