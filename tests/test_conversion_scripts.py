@@ -260,3 +260,19 @@ def test_copy_ds_key_and_filter_size(tmp_path):
     assert name == "3_demos"
     with h5py.File(dst, "r") as f:
         assert len(f["mask/3_demos"]) == 3
+
+
+def test_merge_hdf5(tmp_path):
+    from robot_manipulation_vq_vae_tpu.scripts.merge_hdf5 import merge_hdf5s
+
+    a = str(tmp_path / "a.hdf5")
+    b = str(tmp_path / "b.hdf5")
+    _make_demo_file(a, n_demos=2, t=4)
+    _make_demo_file(b, n_demos=3, t=5)
+    out = str(tmp_path / "merged.hdf5")
+    merge_hdf5s([a, b], out)
+    with h5py.File(out, "r") as f:
+        assert sorted(f["data"].keys()) == [f"demo_{i}" for i in range(5)]
+        assert f["data"].attrs["total"] == 2 * 4 + 3 * 5
+        assert len(f["mask/src_0"]) == 2 and len(f["mask/src_1"]) == 3
+        assert json.loads(f["data"].attrs["env_args"])["env_name"] == "MG_Lift"
