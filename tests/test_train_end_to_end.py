@@ -216,3 +216,47 @@ def test_orbax_checkpoint_roundtrip(trained_ckpt, tmp_path):
     policy.start_episode(lang="pick the object")
     ac = policy(ob, context_batch=ctx)
     assert np.all(np.isfinite(ac))
+
+
+def test_eval_ckpt_generators(trained_ckpt, tmp_path):
+    """eval_ckpt / eval_icl_ckpt / eval_zr_ckpt emit loadable eval configs
+    and the fix_ckpt script round-trips."""
+    import argparse
+    import json
+
+    from robot_manipulation_vq_vae_tpu.scripts.config_gen import (
+        eval_ckpt,
+        eval_icl_ckpt,
+        eval_zr_ckpt,
+    )
+    from robot_manipulation_vq_vae_tpu.scripts.fix_ckpt import fix_checkpoint
+
+    args = argparse.Namespace(
+        ckpt=trained_ckpt, n_rollouts=2, env_name=None,
+        config_dir=str(tmp_path), run=False,
+    )
+    out = eval_ckpt.main(args)
+    cfg = json.load(open(out))
+    assert cfg["experiment"]["ckpt_path"] == trained_ckpt
+    assert cfg["experiment"]["rollout"]["enabled"]
+
+    args = argparse.Namespace(
+        ckpt=trained_ckpt, dataset=None, n_rollouts=2, num_batch_envs=3,
+        env_name=None, config_dir=str(tmp_path), run=False,
+    )
+    out = eval_icl_ckpt.main(args)
+    cfg = json.load(open(out))
+    assert cfg["experiment"]["rollout"]["batched"]
+    assert cfg["experiment"]["rollout"]["num_batch_envs"] == 3
+
+    args = argparse.Namespace(
+        ckpt=trained_ckpt, env_name="SomeOtherTask", dataset=None,
+        n_rollouts=2, config_dir=str(tmp_path), run=False,
+    )
+    out = eval_zr_ckpt.main(args)
+    cfg = json.load(open(out))
+    assert cfg["experiment"]["env"] == "SomeOtherTask"
+    assert cfg["experiment"]["name"].endswith("_zr_eval")
+
+    # fix_ckpt: clean checkpoint is reported clean (returns original path)
+    assert fix_checkpoint(trained_ckpt) == trained_ckpt
