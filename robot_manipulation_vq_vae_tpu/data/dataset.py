@@ -117,8 +117,20 @@ class SequenceDataset:
             self.obs_keys_in_memory = tuple(obs_keys_in_memory)
             self.hdf5_cache = self._load_dataset_in_memory()
             if self.hdf5_cache_mode == "all":
-                self.getitem_cache = [self.get_item(i) for i in range(len(self))]
-                self.hdf5_cache = None
+                from robot_manipulation_vq_vae_tpu import native
+
+                if native.is_available():
+                    # keep the [T, ...] in-memory cache and window on demand
+                    # through the batched native gather (get_batch): one
+                    # memcpy per (demo, key) per batch, and none of the
+                    # reference's window-duplicated getitem cache (which
+                    # costs window-x the RAM; reference dataset.py:156-184)
+                    pass
+                else:
+                    self.getitem_cache = [
+                        self.get_item(i) for i in range(len(self))
+                    ]
+                    self.hdf5_cache = None
 
         self.shuffled_obs_key_groups = list(shuffled_obs_key_groups or [])
         self.close_and_delete_hdf5_handle()
@@ -389,6 +401,151 @@ class SequenceDataset:
             meta["obs"][LANG_EMB_KEY] = np.tile(
                 self._demo_id_to_demo_lang_emb[demo_id], (t, 1)
             )
+        return meta
+
+    # ------------------------------------------------------------ batched
+    def get_batch(self, indices, buffers=None):
+        """Batched get_item fast path: one native edge-padded window gather
+        per (demo, key), scattered straight into the batch arrays (no
+        per-sample dicts, no collate re-stack). Produces exactly
+        ``collate([get_item(i) for i in indices])``; returns None when a
+        feature needs the per-item path (pad masks, shuffled obs groups,
+        uncached/disk-backed keys, partial language embeddings).
+
+        @buffers: optional dict for output-buffer reuse across batches
+        (page faults on fresh ~100MB allocations cost ~20x the memcpy);
+        the caller owns the aliasing contract (see DataLoader.reuse_buffers).
+        """
+        if self.get_pad_mask or self.shuffled_obs_key_groups:
+            return None
+        if self.hdf5_cache is None:
+            return None
+        from robot_manipulation_vq_vae_tpu import native
+
+        if not native.is_available():
+            return None
+
+        indices = np.asarray(indices, dtype=np.int64)
+        nfs = self.n_frame_stack - 1
+        window = nfs + self.seq_length
+
+        def alloc(name, shape, dtype):
+            if buffers is None:
+                return np.empty(shape, dtype)
+            buf = buffers.get(name)
+            if buf is None or buf.shape != shape or buf.dtype != dtype:
+                buf = np.empty(shape, dtype)
+                buffers[name] = buf
+            return buf
+
+        groups = {}  # demo_id -> list of positions in the batch
+        idx_in_demo = np.empty(len(indices), np.int64)
+        for pos, index in enumerate(indices):
+            demo_id = self._index_to_demo_id[int(index)]
+            groups.setdefault(demo_id, []).append(pos)
+            offset = 0 if self.pad_frame_stack else nfs
+            idx_in_demo[pos] = (
+                int(index) - self._demo_id_to_start_indices[demo_id] + offset
+            )
+
+        def gather_key(key):
+            out = None
+            for demo_id, positions in groups.items():
+                data = self.get_dataset_for_ep(demo_id, key)
+                if not isinstance(data, np.ndarray):
+                    return None  # not in memory -> per-item path
+                if out is None:
+                    out = alloc(
+                        key,
+                        (len(indices), window) + data.shape[1:], data.dtype,
+                    )
+                starts = idx_in_demo[positions] - nfs
+                native.gather_windows_at(
+                    data, out, np.asarray(positions, np.int64), starts,
+                    window,
+                )
+            return out
+
+        meta = {}
+        for k in self.dataset_keys:
+            arr = gather_key(k)
+            if arr is None:
+                return None
+            meta[k] = arr
+
+        obs = {}
+        for k in self.obs_keys:
+            arr = gather_key(f"obs/{k}")
+            if arr is None:
+                return None
+            obs[k] = arr
+        meta["obs"] = obs
+
+        if self.load_next_obs:
+            next_obs = {}
+            for k in self.obs_keys:
+                arr = gather_key(f"next_obs/{k}")
+                if arr is None:
+                    return None
+                next_obs[k] = arr
+            meta["next_obs"] = next_obs
+
+        if self.goal_mode == "last":
+            goal = {}
+            for k in self.obs_keys:
+                out = None
+                for demo_id, positions in groups.items():
+                    data = self.get_dataset_for_ep(demo_id, f"next_obs/{k}")
+                    if not isinstance(data, np.ndarray):
+                        return None
+                    demo_length = self._demo_id_to_demo_length[demo_id]
+                    end = demo_length - (
+                        0 if self.pad_seq_length else self.seq_length - 1
+                    )
+                    frame = data[end - 1]
+                    if out is None:
+                        out = alloc(
+                            f"goal/{k}",
+                            (len(indices),) + frame.shape, frame.dtype,
+                        )
+                    out[positions] = frame
+                goal[k] = out
+            meta["goal_obs"] = goal
+
+        # action components -> normalize -> concatenate (batched; stats
+        # broadcast over the leading [B, T] dims)
+        ac_dict = OrderedDict()
+        for k in self.action_keys:
+            ac = meta[k]
+            if ac.ndim == 2:  # [B, T] -> [B, T, 1]
+                ac = ac[..., None]
+            ac_dict[k] = ac
+        stats = self.get_action_normalization_stats()
+        ac_dict = ObsUtils.normalize_dict(ac_dict, stats)
+        # batched action_dict_to_vector: flatten past [B, T], concat last dim
+        meta["actions"] = np.concatenate(
+            [
+                np.asarray(ac_dict[k]).reshape(
+                    ac_dict[k].shape[0], ac_dict[k].shape[1], -1
+                )
+                for k in self.action_keys
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        meta["index"] = indices
+
+        if self._demo_id_to_demo_lang_emb:
+            if any(d not in self._demo_id_to_demo_lang_emb for d in groups):
+                return None
+            emb0 = next(iter(self._demo_id_to_demo_lang_emb.values()))
+            out = alloc(
+                "lang_emb", (len(indices), window, emb0.shape[-1]), emb0.dtype
+            )
+            for demo_id, positions in groups.items():
+                out[positions] = np.tile(
+                    self._demo_id_to_demo_lang_emb[demo_id], (window, 1)
+                )
+            meta["obs"][LANG_EMB_KEY] = out
         return meta
 
     # ------------------------------------------------------------ statistics

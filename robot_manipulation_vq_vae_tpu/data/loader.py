@@ -41,7 +41,8 @@ class DataLoader:
     """
 
     def __init__(self, dataset, batch_size, shuffle=True, sampler_weights=None,
-                 num_workers=8, drop_last=True, seed=0, prefetch=2):
+                 num_workers=8, drop_last=True, seed=0, prefetch=2,
+                 reuse_buffers=False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -49,6 +50,15 @@ class DataLoader:
         self.num_workers = num_workers
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # buffer ring for the batched fast path: page faults on fresh
+        # ~150MB batch allocations dominate gather time (~20x), so reusing
+        # a small ring of output buffers runs at memcpy speed. A batch's
+        # arrays are only valid until `prefetch + 2` more batches are drawn
+        # - safe for train loops that device_put each batch (jnp.asarray
+        # copies host->device), NOT for callers that retain host batches.
+        self.reuse_buffers = reuse_buffers
+        self._buffer_ring = [dict() for _ in range(max(prefetch, 0) + 2)]
+        self._ring_pos = 0
         self._rng = np.random.RandomState(seed)
         self._epoch = 0
 
@@ -69,6 +79,16 @@ class DataLoader:
         return np.arange(n)
 
     def _fetch_batch(self, pool, idx_chunk):
+        # batched fast path: one native window-gather per (demo, key)
+        get_batch = getattr(self.dataset, "get_batch", None)
+        if get_batch is not None:
+            buffers = None
+            if self.reuse_buffers:
+                buffers = self._buffer_ring[self._ring_pos]
+                self._ring_pos = (self._ring_pos + 1) % len(self._buffer_ring)
+            batch = get_batch(idx_chunk, buffers=buffers)
+            if batch is not None:
+                return batch
         if pool is not None:
             samples = list(pool.map(self.dataset.__getitem__, idx_chunk))
         else:

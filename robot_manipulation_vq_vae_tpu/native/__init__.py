@@ -39,6 +39,11 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ]
+        lib.gather_windows_at.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64,
+        ]
         lib.gather_windows_multi.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -80,6 +85,33 @@ def gather_windows(src, starts, window):
     # numpy fallback
     idx = np.clip(starts[:, None] + np.arange(window)[None, :], 0, t_len - 1)
     return src[idx]
+
+
+def gather_windows_at(src, out, dst_idx, starts, window):
+    """Edge-padded window gather into rows @dst_idx of the preallocated
+    batch buffer @out ([N_total, window, ...]); src is one demo's [T, ...]
+    contiguous array. Lets several per-demo calls fill one batch with no
+    intermediate allocation (page faults on fresh ~100MB batch buffers are
+    ~20x the memcpy cost)."""
+    src = np.ascontiguousarray(src)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    dst_idx = np.ascontiguousarray(dst_idx, dtype=np.int64)
+    assert out.flags.c_contiguous and out.dtype == src.dtype
+    n = starts.shape[0]
+    t_len = src.shape[0]
+    lib = _load()
+    if lib:
+        row_bytes = (
+            int(np.prod(src.shape[1:], dtype=np.int64)) * src.itemsize
+        )
+        lib.gather_windows_at(
+            src.ctypes.data, out.ctypes.data, dst_idx.ctypes.data,
+            starts.ctypes.data, n, window, t_len, row_bytes,
+        )
+        return out
+    idx = np.clip(starts[:, None] + np.arange(window)[None, :], 0, t_len - 1)
+    out[dst_idx] = src[idx]
+    return out
 
 
 def gather_windows_multi(srcs, starts, window):

@@ -39,6 +39,25 @@ void gather_windows(const uint8_t* src, uint8_t* out,
   }
 }
 
+// Scatter variant: like gather_windows, but each sample i writes to row
+// dst_idx[i] of out - lets one preallocated batch buffer be filled by
+// several per-demo calls with no intermediate copy.
+void gather_windows_at(const uint8_t* src, uint8_t* out,
+                       const int64_t* dst_idx, const int64_t* starts,
+                       int64_t n, int64_t window, int64_t t_len,
+                       int64_t row_bytes) {
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t start = starts[i];
+    uint8_t* dst = out + dst_idx[i] * window * row_bytes;
+    for (int64_t w = 0; w < window; ++w) {
+      int64_t t = start + w;
+      if (t < 0) t = 0;
+      if (t >= t_len) t = t_len - 1;
+      std::memcpy(dst + w * row_bytes, src + t * row_bytes, row_bytes);
+    }
+  }
+}
+
 // Multi-demo variant: each sample selects its own source demo.
 //   srcs:      [n] pointers to [t_lens[i], row_bytes] demo arrays
 void gather_windows_multi(const uint8_t** srcs, const int64_t* t_lens,

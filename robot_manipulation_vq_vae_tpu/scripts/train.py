@@ -148,6 +148,9 @@ def train(config, eval_only=False):
         num_workers=min(int(config.train.num_data_workers) or 1, 16),
         drop_last=True,
         seed=config.train.seed,
+        # safe here: run_epoch device_puts each batch (jnp.asarray copies)
+        # before the ring wraps
+        reuse_buffers=True,
     )
     # context loader for ICL rollouts (reference train.py:217-224: batch=1)
     context_loader = InfiniteLoader(

@@ -256,3 +256,49 @@ def test_r2d2_dataset(tmp_path):
     item = ds[0]
     assert item["actions"].shape == (4, 7)  # 6 + 1 dims, fs-1+seq window
     assert item["obs"]["robot_state/cartesian_position"].shape == (4, 6)
+
+
+def test_get_batch_matches_per_item(tmp_path):
+    """The batched native fast path produces exactly
+    collate([get_item(i)]) across windowing configs."""
+    from robot_manipulation_vq_vae_tpu.data.loader import collate
+
+    path = str(tmp_path / "batch.hdf5")
+    write_demo_file(path, demo_lengths=[9, 6, 12])
+    # add next_obs so the goal_mode="last" config is exercisable
+    with h5py.File(path, "a") as f:
+        for ep in f["data"]:
+            for k in ("eef_pos", "cam_image"):
+                src = f[f"data/{ep}/obs/{k}"][()]
+                f.create_dataset(
+                    f"data/{ep}/next_obs/{k}", data=np.roll(src, -1, axis=0)
+                )
+
+    configs = [
+        dict(seq_length=5, frame_stack=1),
+        dict(seq_length=3, frame_stack=4),
+        dict(seq_length=4, frame_stack=2, goal_mode="last",
+             load_next_obs=True),
+    ]
+    for kw in configs:
+        ds = make_ds(path, hdf5_cache_mode="all", **kw)
+        if ds.hdf5_cache is None:
+            continue  # no native lib on this host - per-item path only
+        rng = np.random.RandomState(0)
+        idx = rng.randint(0, len(ds), 17)
+        batched = ds.get_batch(idx)
+        assert batched is not None
+        ref = collate([ds.get_item(int(i)) for i in idx])
+        assert sorted(batched.keys()) == sorted(ref.keys())
+
+        def assert_tree(a, b, name):
+            if isinstance(a, dict):
+                assert sorted(a.keys()) == sorted(b.keys()), name
+                for k in a:
+                    assert_tree(a[k], b[k], f"{name}/{k}")
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b), err_msg=name
+                )
+
+        assert_tree(batched, ref, str(kw))
