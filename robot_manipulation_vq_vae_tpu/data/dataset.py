@@ -23,6 +23,7 @@ host->device bandwidth.
 
 import json
 import os
+import threading
 from collections import OrderedDict
 from contextlib import contextmanager
 
@@ -138,15 +139,31 @@ class SequenceDataset:
     # ------------------------------------------------------------ hdf5
     @property
     def hdf5_file(self):
-        if self._hdf5_file is None:
-            self._hdf5_file = h5py.File(
+        """Read handle, one per thread: concurrent reads on a single h5py
+        handle serialize on h5py's global lock, so loader worker threads
+        each get their own (read-only / SWMR handles on one file are safe
+        and parallelize page-cache reads)."""
+        if not hasattr(self, "_hdf5_handles"):
+            self._hdf5_handles = threading.local()
+            self._all_hdf5_handles = []
+        h = getattr(self._hdf5_handles, "handle", None)
+        if h is None:
+            h = h5py.File(
                 self.hdf5_path, "r", swmr=self.hdf5_use_swmr, libver="latest"
             )
-        return self._hdf5_file
+            self._hdf5_handles.handle = h
+            self._all_hdf5_handles.append(h)
+        return h
 
     def close_and_delete_hdf5_handle(self):
-        if self._hdf5_file is not None:
-            self._hdf5_file.close()
+        for h in getattr(self, "_all_hdf5_handles", []):
+            try:
+                h.close()
+            except Exception:
+                pass
+        self._all_hdf5_handles = []
+        if hasattr(self, "_hdf5_handles"):
+            self._hdf5_handles = threading.local()
         self._hdf5_file = None
 
     @contextmanager
@@ -157,7 +174,10 @@ class SequenceDataset:
             self.close_and_delete_hdf5_handle()
 
     def __del__(self):
-        self.close_and_delete_hdf5_handle()
+        try:
+            self.close_and_delete_hdf5_handle()
+        except Exception:
+            pass  # interpreter teardown
 
     # ------------------------------------------------------------ demo maps
     def load_demo_info(self, filter_by_attribute=None, demos=None):
@@ -418,8 +438,6 @@ class SequenceDataset:
         """
         if self.get_pad_mask or self.shuffled_obs_key_groups:
             return None
-        if self.hdf5_cache is None:
-            return None
         from robot_manipulation_vq_vae_tpu import native
 
         if not native.is_available():
@@ -452,18 +470,34 @@ class SequenceDataset:
             out = None
             for demo_id, positions in groups.items():
                 data = self.get_dataset_for_ep(demo_id, key)
-                if not isinstance(data, np.ndarray):
-                    return None  # not in memory -> per-item path
                 if out is None:
                     out = alloc(
                         key,
                         (len(indices), window) + data.shape[1:], data.dtype,
                     )
-                starts = idx_in_demo[positions] - nfs
-                native.gather_windows_at(
-                    data, out, np.asarray(positions, np.int64), starts,
-                    window,
-                )
+                if isinstance(data, np.ndarray):
+                    starts = idx_in_demo[positions] - nfs
+                    native.gather_windows_at(
+                        data, out, np.asarray(positions, np.int64), starts,
+                        window,
+                    )
+                    continue
+                # disk-backed key: one ranged h5py read per sample, written
+                # straight into the batch row; edges replicate (pad_same)
+                t_len = data.shape[0]
+                for pos in positions:
+                    start = int(idx_in_demo[pos]) - nfs
+                    lo = max(0, start)
+                    hi = min(t_len, start + window)
+                    left = lo - start
+                    data.read_direct(
+                        out, np.s_[lo:hi], np.s_[pos, left : left + hi - lo]
+                    )
+                    if left:
+                        out[pos, :left] = out[pos, left]
+                    right = start + window - hi
+                    if right:
+                        out[pos, window - right :] = out[pos, window - right - 1]
             return out
 
         meta = {}
@@ -496,8 +530,6 @@ class SequenceDataset:
                 out = None
                 for demo_id, positions in groups.items():
                     data = self.get_dataset_for_ep(demo_id, f"next_obs/{k}")
-                    if not isinstance(data, np.ndarray):
-                        return None
                     demo_length = self._demo_id_to_demo_length[demo_id]
                     end = demo_length - (
                         0 if self.pad_seq_length else self.seq_length - 1

@@ -263,6 +263,11 @@ def test_get_batch_matches_per_item(tmp_path):
     collate([get_item(i)]) across windowing configs."""
     from robot_manipulation_vq_vae_tpu.data.loader import collate
 
+    # earlier tests in this module may have re-registered modalities
+    ObsUtils.initialize_obs_utils_with_obs_specs(
+        {"obs": {"low_dim": ["eef_pos"], "rgb": ["cam_image"]}}
+    )
+
     path = str(tmp_path / "batch.hdf5")
     write_demo_file(path, demo_lengths=[9, 6, 12])
     # add next_obs so the goal_mode="last" config is exercisable
@@ -280,14 +285,14 @@ def test_get_batch_matches_per_item(tmp_path):
         dict(seq_length=4, frame_stack=2, goal_mode="last",
              load_next_obs=True),
     ]
-    for kw in configs:
-        ds = make_ds(path, hdf5_cache_mode="all", **kw)
-        if ds.hdf5_cache is None:
-            continue  # no native lib on this host - per-item path only
+    for cache_mode in (None, "low_dim", "all"):
+      for kw in configs:
+        ds = make_ds(path, hdf5_cache_mode=cache_mode, **kw)
         rng = np.random.RandomState(0)
         idx = rng.randint(0, len(ds), 17)
         batched = ds.get_batch(idx)
-        assert batched is not None
+        if batched is None:
+            continue  # no native lib on this host - per-item path only
         ref = collate([ds.get_item(int(i)) for i in idx])
         assert sorted(batched.keys()) == sorted(ref.keys())
 
