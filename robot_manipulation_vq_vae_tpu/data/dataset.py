@@ -746,6 +746,68 @@ class MetaDataset:
         meta["index"] = idx
         return meta
 
+    def get_batch(self, indices, buffers=None):
+        """Batched fast path over the member datasets: group by dataset,
+        delegate to each member's get_batch, merge with one scatter per
+        array. Returns None if any member needs the per-item path or the
+        members disagree on batch schema."""
+        indices = np.asarray(indices, dtype=np.int64)
+        parts = {}  # ds_ind -> (positions, local indices)
+        for pos, idx in enumerate(indices):
+            ds_ind = int(np.digitize(idx, self._ds_ind_bins)) - 1
+            positions, local = parts.setdefault(ds_ind, ([], []))
+            positions.append(pos)
+            local.append(int(idx - self._ds_ind_bins[ds_ind]))
+
+        sub_batches = []
+        positions_list = []
+        for ds_ind, (positions, local) in parts.items():
+            sub_buf = None
+            if buffers is not None:
+                sub_buf = buffers.setdefault(f"_ds{ds_ind}", {})
+            sub = self.datasets[ds_ind].get_batch(
+                np.asarray(local, np.int64), buffers=sub_buf
+            )
+            if sub is None:
+                return None
+            sub_batches.append(sub)
+            positions_list.append(np.asarray(positions, np.int64))
+
+        def alloc(name, shape, dtype):
+            if buffers is None:
+                return np.empty(shape, dtype)
+            buf = buffers.get(name)
+            if buf is None or buf.shape != shape or buf.dtype != dtype:
+                buf = np.empty(shape, dtype)
+                buffers[name] = buf
+            return buf
+
+        total = len(indices)
+
+        def merge(trees, name):
+            first = trees[0]
+            if isinstance(first, dict):
+                keys = set(first)
+                if any(set(t) != keys for t in trees[1:]):
+                    return None  # schema mismatch -> per-item path
+                out = {}
+                for k in first:
+                    v = merge([t[k] for t in trees], f"{name}/{k}")
+                    if v is None:
+                        return None
+                    out[k] = v
+                return out
+            out = alloc(name, (total,) + first.shape[1:], first.dtype)
+            for t, pos in zip(trees, positions_list):
+                out[pos] = t
+            return out
+
+        merged = merge(sub_batches, "batch")
+        if merged is None:
+            return None
+        merged["index"] = indices
+        return merged
+
     def get_action_stats(self):
         stats = self.datasets[0].get_action_stats()
         for ds in self.datasets[1:]:

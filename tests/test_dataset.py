@@ -307,3 +307,36 @@ def test_get_batch_matches_per_item(tmp_path):
                 )
 
         assert_tree(batched, ref, str(kw))
+
+
+def test_meta_dataset_get_batch(tmp_path):
+    """MetaDataset batched path merges member get_batch results exactly."""
+    from robot_manipulation_vq_vae_tpu.data.loader import collate
+
+    ObsUtils.initialize_obs_utils_with_obs_specs(
+        {"obs": {"low_dim": ["eef_pos"], "rgb": ["cam_image"]}}
+    )
+    p1 = write_demo_file(str(tmp_path / "a.hdf5"), demo_lengths=[7, 5])
+    p2 = write_demo_file(str(tmp_path / "b.hdf5"), demo_lengths=[9], seed=3)
+    ds1 = make_ds(p1, hdf5_cache_mode="low_dim")
+    ds2 = make_ds(p2, hdf5_cache_mode="low_dim")
+    meta = MetaDataset([ds1, ds2], ds_weights=[1.0, 1.0])
+
+    rng = np.random.RandomState(1)
+    idx = rng.randint(0, len(meta), 13)
+    batched = meta.get_batch(idx, buffers={})
+    if batched is None:
+        pytest.skip("native lib unavailable")
+    ref = collate([meta[int(i)] for i in idx])
+
+    def assert_tree(a, b, name):
+        if isinstance(a, dict):
+            assert sorted(a) == sorted(b), name
+            for k in a:
+                assert_tree(a[k], b[k], f"{name}/{k}")
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=name
+            )
+
+    assert_tree(batched, ref, "meta")
