@@ -257,6 +257,19 @@ def test_r2d2_dataset(tmp_path):
     assert item["actions"].shape == (4, 7)  # 6 + 1 dims, fs-1+seq window
     assert item["obs"]["robot_state/cartesian_position"].shape == (4, 6)
 
+    # batched fast path matches per-item on the root-level key layout
+    from robot_manipulation_vq_vae_tpu.data.loader import collate
+
+    idx = np.arange(0, T, 2)
+    batched = ds.get_batch(idx)
+    if batched is not None:
+        ref = collate([ds.get_item(int(i)) for i in idx])
+        np.testing.assert_array_equal(batched["actions"], ref["actions"])
+        np.testing.assert_array_equal(
+            batched["obs"]["robot_state/cartesian_position"],
+            ref["obs"]["robot_state/cartesian_position"],
+        )
+
 
 def test_get_batch_matches_per_item(tmp_path):
     """The batched native fast path produces exactly
