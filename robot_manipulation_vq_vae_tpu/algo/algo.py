@@ -425,19 +425,29 @@ class RolloutPolicy:
         self.policy.set_eval()
         self.policy.reset()
 
-    def _prepare_observation(self, ob):
+    def _prepare_observation(self, ob, batched=False):
+        """@batched: obs is already [N, ...] across a vector env
+        (reference algo.py:704-735)."""
         ob = dict(ob)
         if self.obs_normalization_stats is not None:
             ob = ObsUtils.normalize_dict(ob, self.obs_normalization_stats)
         if self._ep_lang_emb is not None:
-            ref_key = next(iter(ob))
-            if ob[ref_key].ndim == 1:
-                ob[LANG_EMB_KEY] = self._ep_lang_emb
+            ref = np.asarray(ob[next(iter(ob))])
+            emb = self._ep_lang_emb
+            if batched:
+                # [N, ...] or [N, T, ...] obs -> emb tiled over leading dims
+                lead = ref.shape[:2] if ref.ndim >= 3 else ref.shape[:1]
+                ob[LANG_EMB_KEY] = np.tile(
+                    emb, lead + (1,) * emb.ndim
+                ).reshape(lead + emb.shape)
+            elif ref.ndim == 1:
+                ob[LANG_EMB_KEY] = emb
             else:
-                ob[LANG_EMB_KEY] = np.repeat(
-                    self._ep_lang_emb[None], len(ob[ref_key]), axis=0
-                )
-        ob = {k: np.asarray(v)[None] for k, v in ob.items()}  # add batch dim
+                ob[LANG_EMB_KEY] = np.repeat(emb[None], len(ref), axis=0)
+        if not batched:
+            ob = {k: np.asarray(v)[None] for k, v in ob.items()}
+        else:
+            ob = {k: np.asarray(v) for k, v in ob.items()}
         return ob
 
     def _unnormalize_action(self, ac):
@@ -471,11 +481,13 @@ class RolloutPolicy:
                     raise ValueError(conv)
         return AcUtils.action_dict_to_vector(ac_dict, action_keys=action_keys)
 
-    def __call__(self, ob, goal=None):
-        ob = self._prepare_observation(ob)
+    def __call__(self, ob, goal=None, batched=False):
+        ob = self._prepare_observation(ob, batched=batched)
         if goal is not None:
-            goal = self._prepare_observation(goal)
-        ac = np.asarray(self.policy.get_action(obs_dict=ob, goal_dict=goal))[0]
+            goal = self._prepare_observation(goal, batched=batched)
+        ac = np.asarray(self.policy.get_action(obs_dict=ob, goal_dict=goal))
+        if not batched:
+            ac = ac[0]
         return self._unnormalize_action(ac)
 
 
@@ -483,13 +495,24 @@ class ICLRolloutPolicy(RolloutPolicy):
     """Adds the in-context batch to every action query
     (reference algo.py:795-924)."""
 
-    def __call__(self, ob, context_batch, goal=None):
-        ob = self._prepare_observation(ob)
+    def __call__(self, ob, context_batch, goal=None, batched=False):
+        ob = self._prepare_observation(ob, batched=batched)
         if goal is not None:
-            goal = self._prepare_observation(goal)
+            goal = self._prepare_observation(goal, batched=batched)
+        if batched and context_batch is not None:
+            # one shared context demo serves every env in the vector batch
+            n = len(next(iter(ob.values())))
+
+            def tile(v):
+                v = np.asarray(v)
+                return np.repeat(v, n, axis=0) if v.shape[0] == 1 else v
+
+            context_batch = TensorUtils.map_tensor(context_batch, tile)
         ac = np.asarray(
             self.policy.get_action(
                 obs_dict=ob, context_batch=context_batch, goal_dict=goal
             )
-        )[0]
+        )
+        if not batched:
+            ac = ac[0]
         return self._unnormalize_action(ac)

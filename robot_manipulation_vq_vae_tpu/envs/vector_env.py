@@ -29,7 +29,7 @@ def _worker(remote, parent_remote, env_fn):
             elif cmd == "render":
                 remote.send(env.render(**data))
             elif cmd == "getattr":
-                remote.send(getattr(env, data))
+                remote.send(getattr(env, data, None))
             elif cmd == "call":
                 name, args, kwargs = data
                 remote.send(getattr(env, name)(*args, **kwargs))

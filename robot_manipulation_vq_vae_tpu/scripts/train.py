@@ -91,14 +91,32 @@ def train(config, eval_only=False):
             for entry, env_meta in zip(dataset_cfg, env_meta_list):
                 if not entry.get("do_eval", True):
                     continue
-                env = EnvUtils.create_env_from_metadata(
-                    env_meta=env_meta,
-                    render=False,
-                    render_offscreen=config.experiment.render_video,
-                    use_image_obs=shape_meta["use_images"],
-                )
-                env = EnvUtils.wrap_env_from_config(env, config=config)
-                envs[env.name] = env
+
+                def make_env(env_meta=env_meta):
+                    env = EnvUtils.create_env_from_metadata(
+                        env_meta=env_meta,
+                        render=False,
+                        render_offscreen=config.experiment.render_video,
+                        use_image_obs=shape_meta["use_images"],
+                    )
+                    return EnvUtils.wrap_env_from_config(env, config=config)
+
+                if config.experiment.rollout.get("batched", False):
+                    # subprocess env pool stepping in lockstep (reference
+                    # train.py:141-144, tianshou SubprocVectorEnv)
+                    from robot_manipulation_vq_vae_tpu.envs.vector_env import (
+                        SubprocVectorEnv,
+                    )
+
+                    n_batch = int(
+                        config.experiment.rollout.get("num_batch_envs", 5)
+                    )
+                    envs[env_meta["env_name"]] = SubprocVectorEnv(
+                        [make_env] * n_batch
+                    )
+                else:
+                    env = make_env()
+                    envs[env.name] = env
         except ImportError as e:
             LogUtils.log_warning(
                 f"rollouts disabled: sim stack unavailable ({e})"

@@ -213,6 +213,52 @@ def is_every_n_steps(interval, current_step, skip_zero=False):
 # rollouts
 # ---------------------------------------------------------------------------
 
+def run_batched_rollout(policy, venv, horizon, context_batch=None,
+                        terminate_on_success=False):
+    """Vector-env rollout: one batched policy query steps every env in
+    lockstep (reference run_rollout batched branch, train_utils.py:320-457,
+    over tianshou's SubprocVectorEnv). Returns one result dict per env."""
+    langs = venv.get_env_attr("env_lang")
+    policy.start_episode(lang=langs[0] if langs else None)
+    ob_list = venv.reset()
+    n = len(venv)
+
+    returns = np.zeros(n)
+    success = np.zeros(n, bool)
+    horizons = np.full(n, horizon)
+    active = np.ones(n, bool)
+    t0 = time.time()
+    for step_i in range(horizon):
+        ob_batch = batchify_obs(ob_list)
+        if context_batch is not None:
+            acs = policy(ob=ob_batch, context_batch=context_batch,
+                         batched=True)
+        else:
+            acs = policy(ob=ob_batch, batched=True)
+        ob_list, rews, dones, _ = venv.step(np.asarray(acs))
+        returns += np.asarray(rews) * active
+        succ_now = np.asarray([s["task"] for s in venv.is_success()])
+        success |= active & succ_now
+        finished = np.asarray(dones, bool) | (
+            succ_now if terminate_on_success else False
+        )
+        horizons[active & finished] = step_i + 1
+        active &= ~finished
+        if not active.any():
+            break
+    dt = (time.time() - t0) / n
+    return [
+        dict(
+            Return=float(returns[i]),
+            Horizon=int(horizons[i]),
+            Success_Rate=float(success[i]),
+            Exception_Rate=0.0,
+            time=dt,
+        )
+        for i in range(n)
+    ]
+
+
 def run_rollout(policy, env, horizon, context_batch=None, use_goals=False,
                 render=False, video_writer=None, video_skip=5,
                 terminate_on_success=False):
@@ -303,9 +349,31 @@ def rollout_with_stats(policy, envs, horizon, context_batch=None,
                 LogUtils.log_warning(f"video writing disabled: {e}")
                 video_writer = None
 
+        from robot_manipulation_vq_vae_tpu.envs.vector_env import (
+            SubprocVectorEnv,
+        )
+
+        batched = isinstance(env, SubprocVectorEnv)
         rollout_logs = []
         num_success = 0
-        for ep_i in LogUtils.custom_tqdm(range(num_episodes)):
+        if batched:
+            # each pass collects len(env) episodes in lockstep
+            n_passes = (num_episodes + len(env) - 1) // len(env)
+            for pass_i in LogUtils.custom_tqdm(range(n_passes)):
+                try:
+                    infos = run_batched_rollout(
+                        policy=policy, venv=env, horizon=horizon,
+                        context_batch=context_batch,
+                        terminate_on_success=terminate_on_success,
+                    )
+                except Exception as e:
+                    print(f"Batched rollout exception at pass {pass_i}: {e}")
+                    break
+                rollout_logs.extend(infos)
+                num_success += sum(i["Success_Rate"] for i in infos)
+            rollout_logs = rollout_logs[:num_episodes]
+        else:
+          for ep_i in LogUtils.custom_tqdm(range(num_episodes)):
             try:
                 rollout_info = run_rollout(
                     policy=policy,

@@ -188,3 +188,48 @@ def test_subproc_vector_env():
     succ = venv.is_success()
     assert all(s["task"] for s in succ)
     venv.close()
+
+
+def test_batched_rollout_with_stats():
+    """SubprocVectorEnv path: one batched policy query steps every env in
+    lockstep (reference train_utils batched rollouts over tianshou)."""
+    from robot_manipulation_vq_vae_tpu.algo.algo import ICLRolloutPolicy
+    from robot_manipulation_vq_vae_tpu.utils import obs_utils as ObsUtils
+    from robot_manipulation_vq_vae_tpu.utils import train_utils as TrainUtils
+
+    ObsUtils.initialize_obs_utils_with_obs_specs(
+        {"obs": {"low_dim": list(OBS_KEYS)}}
+    )
+    algo = FakePolicy()
+    stats = {
+        "action_dict/rel_pos": {"scale": np.ones((1, 3), np.float32),
+                                 "offset": np.zeros((1, 3), np.float32)},
+        "action_dict/rel_rot_6d": {"scale": np.ones((1, 6), np.float32),
+                                    "offset": np.zeros((1, 6), np.float32)},
+        "action_dict/gripper": {"scale": np.ones((1, 1), np.float32),
+                                 "offset": np.zeros((1, 1), np.float32)},
+    }
+    policy = ICLRolloutPolicy(algo, action_normalization_stats=stats)
+    venv = SubprocVectorEnv(
+        [lambda: FrameStackWrapper(FakeEnv(), num_frames=4)] * 3
+    )
+    ctx = {"actions": np.zeros((1, 4, 10), np.float32)}
+
+    infos = TrainUtils.run_batched_rollout(
+        policy=policy, venv=venv, horizon=8, context_batch=ctx,
+        terminate_on_success=True,
+    )
+    assert len(infos) == 3
+    for info in infos:
+        assert info["Success_Rate"] == 1.0
+        assert info["Horizon"] == 5
+    # 5 steps, each ONE batched policy query (not 3)
+    assert algo.calls == 5
+
+    # through rollout_with_stats: 5 requested episodes -> 2 passes of 3
+    logs, _ = TrainUtils.rollout_with_stats(
+        policy=policy, envs={"FakeEnv": venv}, horizon=8, context_batch=ctx,
+        num_episodes=5, terminate_on_success=True,
+    )
+    assert logs["FakeEnv"]["Success_Rate"] == 1.0
+    venv.close()
