@@ -72,6 +72,10 @@ def train(config, eval_only=False):
             env_meta.setdefault("env_kwargs", {})
             for k, v in meta_update.get("env_kwargs", {}).items():
                 env_meta["env_kwargs"][k] = v
+        if config.experiment.env is not None:
+            # evaluate in a different env than the dataset's (reference
+            # train.py:105-107)
+            env_meta["env_name"] = config.experiment.env
         env_meta_list.append(env_meta)
         shape_meta_list.append(
             FileUtils.get_shape_metadata_from_dataset(
@@ -117,6 +121,19 @@ def train(config, eval_only=False):
                 else:
                     env = make_env()
                     envs[env.name] = env
+            # extra eval-only envs (zero-shot evaluation;
+            # experiment.additional_envs, upstream robomimic semantics)
+            for extra_name in (config.experiment.additional_envs or []):
+                extra_meta = dict(env_meta_list[0])
+                extra_meta["env_name"] = extra_name
+                env = EnvUtils.create_env_from_metadata(
+                    env_meta=extra_meta,
+                    render=False,
+                    render_offscreen=config.experiment.render_video,
+                    use_image_obs=shape_meta["use_images"],
+                )
+                env = EnvUtils.wrap_env_from_config(env, config=config)
+                envs[env.name] = env
         except ImportError as e:
             LogUtils.log_warning(
                 f"rollouts disabled: sim stack unavailable ({e})"
