@@ -328,9 +328,9 @@ def adjust_hue(x, factor):
 
 class ColorRandomizer(Randomizer):
     """Brightness/contrast/saturation/hue jitter (reference
-    obs_core.py:705-860). Hue uses an exact HSV roundtrip; the remaining
-    divergence vs torchvision's ColorJitter is that the four jitters apply
-    in a fixed order rather than a per-call random order (see PARITY.md)."""
+    obs_core.py:705-860, i.e. torchvision ColorJitter semantics): hue is an
+    exact HSV roundtrip, and the enabled jitters apply in a fresh random
+    order per call (``lax.switch`` over the order permutations)."""
 
     def __init__(self, input_shape, brightness=0.3, contrast=0.3, saturation=0.3,
                  hue=0.3, num_samples=1):
@@ -345,36 +345,70 @@ class ColorRandomizer(Randomizer):
         if not train:
             return x
         assert rng is not None
+        import itertools
+
         b = x.shape[0]
         n = self.num_samples
         x = jnp.repeat(x, n, axis=0)
-        rb, rc, rs, rh = jax.random.split(rng, 4)
+        rb, rc, rs, rh, r_order = jax.random.split(rng, 5)
         shape = (b * n,) + (1,) * (x.ndim - 1)
+
+        transforms = []
         if self.brightness > 0:
-            f = jax.random.uniform(
+            fb = jax.random.uniform(
                 rb, shape, minval=max(0, 1 - self.brightness),
                 maxval=1 + self.brightness,
             )
-            x = x * f
+            transforms.append(lambda im: im * fb)
         if self.contrast > 0:
-            f = jax.random.uniform(
+            fc = jax.random.uniform(
                 rc, shape, minval=max(0, 1 - self.contrast),
                 maxval=1 + self.contrast,
             )
-            mean = jnp.mean(x, axis=(-3, -2, -1), keepdims=True)
-            x = mean + (x - mean) * f
+
+            def _contrast(im):
+                mean = jnp.mean(im, axis=(-3, -2, -1), keepdims=True)
+                return mean + (im - mean) * fc
+
+            transforms.append(_contrast)
         if self.saturation > 0:
-            f = jax.random.uniform(
+            fs = jax.random.uniform(
                 rs, shape, minval=max(0, 1 - self.saturation),
                 maxval=1 + self.saturation,
             )
-            gray = jnp.mean(x, axis=-1, keepdims=True)
-            x = gray + (x - gray) * f
+
+            def _saturation(im):
+                gray = jnp.mean(im, axis=-1, keepdims=True)
+                return gray + (im - gray) * fs
+
+            transforms.append(_saturation)
         if self.hue > 0:
-            f = jax.random.uniform(
+            fh = jax.random.uniform(
                 rh, shape, minval=-self.hue, maxval=self.hue
             )
-            x = adjust_hue(jnp.clip(x, 0.0, 1.0), f)
+            transforms.append(
+                lambda im: adjust_hue(jnp.clip(im, 0.0, 1.0), fh)
+            )
+
+        if not transforms:
+            return x
+        if len(transforms) == 1:
+            return jnp.clip(transforms[0](x), 0.0, 1.0)
+
+        # random application order per call (ColorJitter.get_params)
+        perms = list(itertools.permutations(range(len(transforms))))
+
+        def apply_in_order(perm):
+            def f(im):
+                for i in perm:
+                    im = transforms[i](im)
+                return im
+
+            return f
+
+        branches = [apply_in_order(p) for p in perms]
+        which = jax.random.randint(r_order, (), 0, len(branches))
+        x = jax.lax.switch(which, branches, x)
         return jnp.clip(x, 0.0, 1.0)
 
     def forward_out(self, x):
