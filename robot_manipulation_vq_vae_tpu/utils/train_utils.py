@@ -373,29 +373,29 @@ def rollout_with_stats(policy, envs, horizon, context_batch=None,
                 num_success += sum(i["Success_Rate"] for i in infos)
             rollout_logs = rollout_logs[:num_episodes]
         else:
-          for ep_i in LogUtils.custom_tqdm(range(num_episodes)):
-            try:
-                rollout_info = run_rollout(
-                    policy=policy,
-                    env=env,
-                    horizon=horizon,
-                    context_batch=context_batch,
-                    use_goals=use_goals,
-                    render=render,
-                    video_writer=video_writer,
-                    video_skip=video_skip,
-                    terminate_on_success=terminate_on_success,
-                )
-            except Exception as e:
-                print(f"Rollout exception at episode {ep_i}: {e}")
-                break
-            rollout_logs.append(rollout_info)
-            num_success += rollout_info["Success_Rate"]
-            if verbose:
-                print(
-                    f"Episode {ep_i + 1}, horizon={horizon}, "
-                    f"num_success={num_success}"
-                )
+            for ep_i in LogUtils.custom_tqdm(range(num_episodes)):
+                try:
+                    rollout_info = run_rollout(
+                        policy=policy,
+                        env=env,
+                        horizon=horizon,
+                        context_batch=context_batch,
+                        use_goals=use_goals,
+                        render=render,
+                        video_writer=video_writer,
+                        video_skip=video_skip,
+                        terminate_on_success=terminate_on_success,
+                    )
+                except Exception as e:
+                    print(f"Rollout exception at episode {ep_i}: {e}")
+                    break
+                rollout_logs.append(rollout_info)
+                num_success += rollout_info["Success_Rate"]
+                if verbose:
+                    print(
+                        f"Episode {ep_i + 1}, horizon={horizon}, "
+                        f"num_success={num_success}"
+                    )
 
         if video_writer is not None:
             video_writer.close()
