@@ -260,3 +260,35 @@ def test_eval_ckpt_generators(trained_ckpt, tmp_path):
 
     # fix_ckpt: clean checkpoint is reported clean (returns original path)
     assert fix_checkpoint(trained_ckpt) == trained_ckpt
+
+
+def test_train_multi_dataset(tmp_path):
+    """Two weighted datasets -> MetaDataset + weighted sampler + batched
+    loader fast path through the real train CLI (the flagship's multi-task
+    configuration)."""
+    import argparse
+
+    from robot_manipulation_vq_vae_tpu.scripts.train import main
+
+    d1 = write_robomimic_hdf5(str(tmp_path / "a.hdf5"), seed=0)
+    d2 = write_robomimic_hdf5(str(tmp_path / "b.hdf5"), n_demos=2, seed=1)
+    cfg_path = make_config_json(tmp_path, d1)
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    cfg["train"]["data"] = [
+        {"path": d1, "do_eval": False, "weight": 1.0},
+        {"path": d2, "do_eval": False, "weight": 2.0},
+    ]
+    cfg["train"]["hdf5_cache_mode"] = "low_dim"
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+
+    args = argparse.Namespace(
+        config=cfg_path, algo=None, name=None, dataset=None,
+        output_dir=None, debug=True, eval_only=False,
+    )
+    main(args)
+    ckpts = glob.glob(
+        str(tmp_path / "out" / "smoke" / "*" / "models" / "*.ckpt")
+    )
+    assert ckpts, "no checkpoint written from multi-dataset training"
