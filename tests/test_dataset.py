@@ -353,3 +353,23 @@ def test_meta_dataset_get_batch(tmp_path):
             )
 
     assert_tree(batched, ref, "meta")
+
+
+def test_device_prefetch(demo_file):
+    """device_prefetch yields device-resident batches in order, keeping
+    transfers in flight."""
+    import jax
+
+    from robot_manipulation_vq_vae_tpu.data.prefetch import device_prefetch
+
+    ds = make_ds(demo_file)
+    loader = DataLoader(ds, batch_size=2, shuffle=False, num_workers=0)
+    host_batches = list(loader)
+    dev_batches = list(device_prefetch(iter(loader), size=2))
+    assert len(dev_batches) == len(host_batches)
+    for hb, db in zip(host_batches, dev_batches):
+        leaf = db["obs"]["eef_pos"]
+        assert isinstance(leaf, jax.Array)
+        np.testing.assert_array_equal(
+            np.asarray(leaf), hb["obs"]["eef_pos"]
+        )
