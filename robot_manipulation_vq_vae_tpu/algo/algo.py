@@ -259,34 +259,60 @@ class Algo:
         pass
 
     # ------------------------------------------------------------ serialize
-    def serialize(self):
-        """State -> nested numpy dict (reference :335-340)."""
+    def serialize(self, include_optimizer=False):
+        """State -> nested numpy dict (reference :335-340). With
+        @include_optimizer, also carries optimizer states + step counter +
+        rng for a true resume (the reference only ever saves weights)."""
         assert self.state is not None, "state not initialized yet"
-        return {
+        out = {
             "params": TensorUtils.to_numpy(self.state.params),
             "aux": TensorUtils.to_numpy(self.state.aux),
         }
+        if include_optimizer:
+            out["opt_states"] = TensorUtils.to_numpy(self.state.opt_states)
+            out["step"] = int(self.state.step)
+            out["rng"] = np.asarray(self.state.rng)
+        return out
 
     def deserialize(self, model_dict):
-        """Load weights (+ aux collections). A checkpoint is complete - if
-        the state is not yet initialized, build it directly from the
-        checkpoint pytrees (reference :341-363)."""
+        """Load weights (+ aux collections; + optimizer states when the
+        checkpoint carries them). A checkpoint is complete - if the state is
+        not yet initialized, build it directly from the checkpoint pytrees
+        (reference :341-363)."""
         params = jax.tree_util.tree_map(jnp.asarray, model_dict["params"])
+        opt_states = None
+        if "opt_states" in model_dict:
+            opt_states = jax.tree_util.tree_map(
+                jnp.asarray, model_dict["opt_states"]
+            )
+        step = model_dict.get("step")
+        rng = model_dict.get("rng")
         if self.state is not None:
             aux = jax.tree_util.tree_map(
                 jnp.asarray, model_dict.get("aux", self.state.aux)
             )
             self.state = self.state.replace(params=params, aux=aux)
+            if opt_states is not None:
+                self.state = self.state.replace(
+                    opt_states=opt_states,
+                    step=jnp.asarray(step, jnp.int32),
+                    rng=jnp.asarray(rng),
+                )
             return
         aux = jax.tree_util.tree_map(jnp.asarray, model_dict.get("aux", {}))
-        opt_states = {
-            name: self.optimizers[name].init(params[name])
-            for name in params
-            if name in self.optimizers
-        }
+        if opt_states is None:
+            opt_states = {
+                name: self.optimizers[name].init(params[name])
+                for name in params
+                if name in self.optimizers
+            }
         self.state = AlgoState(
             params=params, aux=aux, opt_states=opt_states,
-            step=jnp.zeros((), jnp.int32), rng=self._init_rng,
+            step=(
+                jnp.zeros((), jnp.int32)
+                if step is None else jnp.asarray(step, jnp.int32)
+            ),
+            rng=self._init_rng if rng is None else jnp.asarray(rng),
         )
 
     def __repr__(self):

@@ -496,10 +496,10 @@ class ValuePlanner(PlannerAlgo, ValueAlgo):
     def get_state_action_value(self, obs_dict, actions, goal_dict=None):
         return self.value_net.get_state_action_value(obs_dict, actions, goal_dict)
 
-    def serialize(self):
+    def serialize(self, include_optimizer=False):
         return {
-            "planner": self.planner.serialize(),
-            "value_net": self.value_net.serialize(),
+            "planner": self.planner.serialize(include_optimizer),
+            "value_net": self.value_net.serialize(include_optimizer),
         }
 
     def deserialize(self, model_dict):

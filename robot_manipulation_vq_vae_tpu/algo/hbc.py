@@ -174,10 +174,10 @@ class HBC(HierarchicalAlgo):
         self.planner.on_epoch_end(epoch)
         self.actor.on_epoch_end(epoch)
 
-    def serialize(self):
+    def serialize(self, include_optimizer=False):
         return {
-            "planner": self.planner.serialize(),
-            "actor": self.actor.serialize(),
+            "planner": self.planner.serialize(include_optimizer),
+            "actor": self.actor.serialize(include_optimizer),
         }
 
     def deserialize(self, model_dict):

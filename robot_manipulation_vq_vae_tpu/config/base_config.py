@@ -95,6 +95,9 @@ class BaseConfig(Config, metaclass=ConfigMeta):
         # checkpoint on-disk format: "pickle" (single file, reference-style)
         # or "orbax" (directory; zarr-sharded weights, multi-host-safe)
         self.experiment.save.format = "pickle"
+        # also checkpoint optimizer states + step + rng for a true resume
+        # (the reference saves weights only)
+        self.experiment.save.include_optimizer = False
 
         self.experiment.epoch_every_n_steps = 100
         self.experiment.validation_epoch_every_n_steps = 10

@@ -447,8 +447,11 @@ def save_model(model, config, env_meta, shape_meta, ckpt_path,
     """Write a self-describing checkpoint (reference :1186-1235)."""
     env_meta = deepcopy(env_meta)
     shape_meta = deepcopy(shape_meta)
+    include_opt = bool(
+        config.experiment.save.get("include_optimizer", False)
+    )
     params = dict(
-        model=model.serialize(),
+        model=model.serialize(include_optimizer=include_opt),
         algo_name=config.algo_name,
         config=config.dump(),
         env_metadata=env_meta,
