@@ -12,6 +12,7 @@ checkpoints -> MSE eval}.
 """
 
 import argparse
+import glob
 import json
 import os
 import sys
@@ -38,7 +39,7 @@ from robot_manipulation_vq_vae_tpu.utils import obs_utils as ObsUtils
 from robot_manipulation_vq_vae_tpu.utils import train_utils as TrainUtils
 
 
-def train(config, eval_only=False):
+def train(config, eval_only=False, auto_resume=False):
     """Main train loop (reference train.py:47-487)."""
     np.random.seed(config.train.seed)
 
@@ -154,7 +155,32 @@ def train(config, eval_only=False):
 
     # checkpoint warm-start (reference train.py:173-178)
     ckpt_path = config.experiment.ckpt_path
-    if ckpt_path is not None and os.path.isfile(ckpt_path):
+    start_epoch = 1
+    if auto_resume and ckpt_path is None:
+        # crash recovery: pick up the newest checkpoint of this experiment
+        # (pairs with experiment.save.include_optimizer for a true resume)
+        pattern = os.path.join(
+            os.path.abspath(os.path.expanduser(config.train.output_dir)),
+            config.experiment.name, "*", "models", "model_epoch_*",
+        )
+        candidates = [
+            p for p in glob.glob(pattern)
+            if p.endswith(".ckpt") or p.endswith(".orbax")
+        ]
+        if candidates:
+            def epoch_of(p):
+                stem = os.path.basename(p).split(".")[0]
+                digits = "".join(
+                    c for c in stem.split("model_epoch_")[1] if c.isdigit()
+                )
+                return int(digits or 0)
+
+            ckpt_path = max(candidates, key=epoch_of)
+            start_epoch = epoch_of(ckpt_path) + 1
+            print(f"auto-resume: found {ckpt_path} (epoch {start_epoch - 1})")
+    if ckpt_path is not None and os.path.exists(ckpt_path) and not (
+        os.path.isdir(ckpt_path) and not ckpt_path.endswith(".orbax")
+    ):
         ckpt = FileUtils.maybe_dict_from_checkpoint(ckpt_path=ckpt_path)
         model.deserialize(ckpt["model"])
         print(f"warm-started model weights from {ckpt_path}")
@@ -210,7 +236,7 @@ def train(config, eval_only=False):
     valid_num_steps = config.experiment.validation_epoch_every_n_steps
     train_iter = iter(train_loader)
 
-    for epoch in range(1, config.train.num_epochs + 1):
+    for epoch in range(start_epoch, config.train.num_epochs + 1):
         # eval-while-training mode: a *directory* ckpt_path makes the loop
         # re-load model_epoch_{N} each epoch (reference train.py:259-267,
         # used by config_gen/eval_ckpt.py)
@@ -452,11 +478,13 @@ def main(args):
     config.lock()
 
     if args.debug:
-        train(config, eval_only=args.eval_only)
+        train(config, eval_only=args.eval_only,
+              auto_resume=getattr(args, "auto_resume", False))
         return
 
     try:
-        train(config, eval_only=args.eval_only)
+        train(config, eval_only=args.eval_only,
+              auto_resume=getattr(args, "auto_resume", False))
     except Exception as e:
         print(f"run failed with error:\n{e}\n\n{traceback.format_exc()}")
 
@@ -470,5 +498,10 @@ if __name__ == "__main__":
     parser.add_argument("--output_dir", type=str, default=None)
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--eval_only", action="store_true")
+    parser.add_argument(
+        "--auto_resume", action="store_true",
+        help="resume from the newest checkpoint of this experiment "
+             "(use with experiment.save.include_optimizer for a true resume)",
+    )
     args = parser.parse_args()
     main(args)

@@ -351,3 +351,44 @@ def test_optimizer_state_resume(tmp_path):
             np.asarray(x), np.asarray(y), atol=1e-6,
             err_msg="resumed training diverged from uninterrupted",
         )
+
+
+def test_auto_resume(tmp_path):
+    """--auto_resume finds the newest checkpoint of the experiment and
+    continues from its epoch."""
+    import argparse
+
+    from robot_manipulation_vq_vae_tpu.scripts.train import main
+
+    data_path = write_robomimic_hdf5(str(tmp_path / "demos.hdf5"))
+    cfg_path = make_config_json(tmp_path, data_path)
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    cfg["experiment"]["save"]["include_optimizer"] = True
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+
+    base = argparse.Namespace(
+        config=cfg_path, algo=None, name=None, dataset=None,
+        output_dir=None, debug=True, eval_only=False, auto_resume=False,
+    )
+    main(base)
+    first = glob.glob(
+        str(tmp_path / "out" / "smoke" / "*" / "models" / "*.ckpt")
+    )
+    assert first
+
+    # resumed run: should find the newest checkpoint and continue past it
+    # (debug mode trains 2 epochs; raise the budget so there is work left)
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    cfg["train"]["num_epochs"] = 4
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    base.auto_resume = True
+    base.debug = False  # debug clamps num_epochs; config keeps tiny steps
+    main(base)
+    all_ckpts = glob.glob(
+        str(tmp_path / "out" / "smoke" / "*" / "models" / "*.ckpt")
+    )
+    assert len(all_ckpts) > len(first)
