@@ -373,26 +373,33 @@ class BCQ(PolicyAlgo):
 
     def get_state_value(self, obs_dict, goal_dict=None):
         """V(s) estimated as the best Q over sampled candidate actions
-        (reference bcq.py get_state_value)."""
-        cfg = self.algo_config
-        n_samples = int(cfg.critic.num_action_samples_rollout)
-        obs = device_process_obs({k: jnp.asarray(v) for k, v in obs_dict.items()})
-        b = next(iter(obs.values())).shape[0]
-        self._init_rng, key = jax.random.split(self._init_rng)
-        tiled, cand = self._sample_actions(
-            self.state.params["action_sampler"],
-            self.state.aux["action_sampler"], obs, key, n_samples,
-        )
-        if self.actor_enabled:
-            cand = self.nets["actor"].apply(
-                {"params": self.state.params["actor"], **self.state.aux["actor"]},
-                tiled, cand,
+        (reference bcq.py get_state_value). One jitted device call."""
+        n_samples = int(self.algo_config.critic.num_action_samples_rollout)
+        actor_enabled = self.actor_enabled
+        actor = self.nets.get("actor")
+        critic = self.nets["critic0"]
+
+        def infer(params, aux, obs, key):
+            obs = device_process_obs(obs)
+            b = next(iter(obs.values())).shape[0]
+            tiled, cand = self._sample_actions(
+                params["action_sampler"], aux["action_sampler"], obs, key,
+                n_samples,
             )
-        q = self.nets["critic0"].apply(
-            {"params": self.state.params["critic0"], **self.state.aux["critic0"]},
-            tiled, cand,
-        ).reshape(b, n_samples)
-        return jnp.max(q, axis=1, keepdims=True)
+            if actor_enabled:
+                cand = actor.apply(
+                    {"params": params["actor"], **aux["actor"]}, tiled, cand
+                )
+            q = critic.apply(
+                {"params": params["critic0"], **aux["critic0"]}, tiled, cand
+            ).reshape(b, n_samples)
+            return jnp.max(q, axis=1, keepdims=True)
+
+        self._init_rng, key = jax.random.split(self._init_rng)
+        return self._cached_jit("get_state_value", infer)(
+            self.state.params, self.state.aux,
+            {k: jnp.asarray(v) for k, v in obs_dict.items()}, key,
+        )
 
     def get_state_action_value(self, obs_dict, actions, goal_dict=None):
         obs = device_process_obs({k: jnp.asarray(v) for k, v in obs_dict.items()})
