@@ -1,0 +1,97 @@
+"""Direct unit tests for utility modules exercised only indirectly
+elsewhere: LR schedulers (reference ``torch_utils.py:122-195`` semantics),
+the gated language encoder, and the ICL config generator."""
+
+import numpy as np
+
+from robot_manipulation_vq_vae_tpu.utils import optim_utils as OptimUtils
+from robot_manipulation_vq_vae_tpu.utils.lang_utils import LangEncoder
+
+
+def _params(sched, **kw):
+    lr = {"initial": 1e-3, "scheduler_type": sched}
+    lr.update(kw)
+    return {"learning_rate": lr, "regularization": {"L2": 0.0}}
+
+
+def test_constant_with_warmup_schedule():
+    sched = OptimUtils.lr_schedule_from_optim_params(
+        _params("constant_with_warmup", num_warmup_steps=100)
+    )
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(50)), 5e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(100)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(10_000)), 1e-3, rtol=1e-6)
+
+
+def test_multistep_schedule():
+    sched = OptimUtils.lr_schedule_from_optim_params(
+        _params("multistep", epoch_schedule=[10, 20], decay_factor=0.1)
+    )
+    np.testing.assert_allclose(float(sched(5)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(15)), 1e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(25)), 1e-5, rtol=1e-6)
+
+
+def test_linear_schedule():
+    sched = OptimUtils.lr_schedule_from_optim_params(
+        _params("linear", num_warmup_steps=10, decay_factor=0.5)
+    )
+    np.testing.assert_allclose(float(sched(0)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(10)), 5e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(100)), 5e-4, rtol=1e-6)
+
+
+def test_cosine_schedule_needs_total_steps():
+    import pytest
+
+    with pytest.raises(AssertionError):
+        OptimUtils.lr_schedule_from_optim_params(_params("cosine"))
+    sched = OptimUtils.lr_schedule_from_optim_params(
+        _params("cosine", num_warmup_steps=10), num_training_steps=100
+    )
+    np.testing.assert_allclose(float(sched(10)), 1e-3, rtol=1e-5)
+    assert float(sched(100)) < 1e-5
+
+
+def test_pseudo_lang_embeddings_deterministic():
+    enc = LangEncoder(model_dir=None)
+    assert not enc.is_real
+    e1 = enc.get_lang_emb("pick the mug")
+    e2 = enc.get_lang_emb("pick the mug")
+    e3 = enc.get_lang_emb("open the drawer")
+    assert e1.shape == (768,)
+    np.testing.assert_array_equal(e1, e2)
+    assert not np.allclose(e1, e3)
+    np.testing.assert_allclose(np.linalg.norm(e1), 1.0, rtol=1e-5)
+    batch = enc.get_lang_emb(["pick the mug", "open the drawer"])
+    assert batch.shape == (2, 768)
+    np.testing.assert_array_equal(batch[0], e1)
+    assert enc.get_lang_emb(None) is None
+
+
+def test_icl_xfmr_generator(tmp_path):
+    """The flagship generator emits configs config_factory can load."""
+    import argparse
+    import glob
+    import json
+
+    from robot_manipulation_vq_vae_tpu.config import config_factory
+    from robot_manipulation_vq_vae_tpu.scripts.config_gen import icl_xfmr_gen
+
+    args = argparse.Namespace(
+        name="t", tasks=["PnPCabToCounter"], ndemos=50, seeds=[1, 2],
+        output_dir=str(tmp_path / "exp"), config_dir=str(tmp_path),
+        wandb_proj_name=None, debug=True,
+    )
+    icl_xfmr_gen.main(args)
+    paths = [
+        p for p in glob.glob(str(tmp_path / "*.json"))
+        if not p.endswith("_base.json")
+    ]
+    assert len(paths) == 2
+    for p in paths:
+        with open(p) as f:
+            d = json.load(f)
+        config = config_factory("icl", dic=d)
+        assert config.algo.transformer.vq_vae_enabled
