@@ -127,7 +127,17 @@ class DiffusionPolicyUNet(PolicyAlgo):
         schedule = self.schedule
         num_t = schedule.num_train_timesteps
         ema_enabled = self.ema_enabled
+        # bf16 master-cast (same pattern as the transformer step): encoder +
+        # UNet forward/backward in bf16, loss/optimizer/EMA/schedule in f32
+        bf16 = bool(self.global_config.train.get("mixed_precision", False))
         import optax
+
+        def _half(tree):
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                tree,
+            )
 
         def step(state, batch, validate):
             rng, r_t, r_n, r_d, r_r = jax.random.split(state.rng, 5)
@@ -136,18 +146,27 @@ class DiffusionPolicyUNet(PolicyAlgo):
 
             def loss_fn(params):
                 obs = device_process_obs(batch["obs"])
+                enc_params = params["obs_encoder"]
+                enc_aux = state.aux["obs_encoder"]
+                pol_params = params["policy"]
+                pol_aux = state.aux["policy"]
+                noisy_in = schedule.add_noise(
+                    actions, noise := jax.random.normal(r_n, actions.shape),
+                    t := jax.random.randint(r_t, (b,), 0, num_t),
+                )
+                if bf16:
+                    enc_params, enc_aux = _half(enc_params), _half(enc_aux)
+                    pol_params, pol_aux = _half(pol_params), _half(pol_aux)
+                    obs = _half(obs)
+                    noisy_in = noisy_in.astype(jnp.bfloat16)
                 cond = self._encode_cond(
-                    params["obs_encoder"], state.aux["obs_encoder"], obs,
+                    enc_params, enc_aux, obs,
                     train=not validate,
                     rngs={"dropout": r_d, "randomizer": r_r},
                 )
-                t = jax.random.randint(r_t, (b,), 0, num_t)
-                noise = jax.random.normal(r_n, actions.shape)
-                noisy = schedule.add_noise(actions, noise, t)
                 eps = policy.apply(
-                    {"params": params["policy"], **state.aux["policy"]},
-                    noisy, t, cond,
-                )
+                    {"params": pol_params, **pol_aux}, noisy_in, t, cond
+                ).astype(jnp.float32)
                 return jnp.mean((eps - noise) ** 2)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)

@@ -87,3 +87,36 @@ def test_act():
     assert a1.shape == (1, A)
     assert len(algo._ac_queue) == 4  # popped 2 of 6
     assert not np.allclose(a1, a2)
+
+
+def test_diffusion_mixed_precision():
+    """train.mixed_precision runs the UNet in bf16 with f32 masters."""
+    import jax
+    import jax.numpy as jnp
+
+    config = config_factory("diffusion_policy")
+    with config.values_unlocked():
+        config.observation.modalities.obs.low_dim = list(OBS_KEYS)
+        config.algo.unet.down_dims = [16, 32]
+        config.algo.unet.diffusion_step_embed_dim = 16
+        config.algo.ddpm.enabled = False
+        config.algo.ddim.enabled = True
+        config.algo.ddim.num_train_timesteps = 10
+        config.algo.ddim.num_inference_timesteps = 3
+        config.algo.horizon.observation_horizon = 2
+        config.algo.horizon.prediction_horizon = 8
+        config.train.seq_length = 8
+        config.train.frame_stack = 2
+        config.train.mixed_precision = True
+    config.lock()
+    ObsUtils.initialize_obs_utils_with_config(config)
+    algo = AlgoReg.algo_factory(
+        "diffusion_policy", config, obs_key_shapes=dict(OBS_KEYS), ac_dim=A
+    )
+    rng = np.random.RandomState(0)
+    for _ in range(2):
+        batch = algo.process_batch_for_training(make_batch(rng, 9))
+        log = algo.log_info(algo.train_on_batch(batch, epoch=0))
+        assert np.isfinite(log["Loss"])
+    for leaf in jax.tree_util.tree_leaves(algo.state.params):
+        assert leaf.dtype != jnp.bfloat16
