@@ -95,3 +95,32 @@ def test_icl_xfmr_generator(tmp_path):
             d = json.load(f)
         config = config_factory("icl", dic=d)
         assert config.algo.transformer.vq_vae_enabled
+
+
+def test_macros_and_setup(tmp_path, capsys, monkeypatch):
+    """macros defaults + setup_macros private-override bootstrap
+    (reference robomimic/macros.py + scripts/setup_macros.py)."""
+    import importlib
+    import os
+    import shutil
+
+    from robot_manipulation_vq_vae_tpu import macros
+
+    assert macros.LANG_EMB_KEY == "lang_emb"
+
+    import robot_manipulation_vq_vae_tpu
+    from robot_manipulation_vq_vae_tpu.scripts import setup_macros
+
+    pkg_dir = os.path.dirname(robot_manipulation_vq_vae_tpu.__file__)
+    dst = os.path.join(pkg_dir, "macros_private.py")
+    existed = os.path.exists(dst)
+    try:
+        if not existed:
+            setup_macros.main()
+            assert os.path.exists(dst)
+        setup_macros.main()  # second call must not overwrite
+        out = capsys.readouterr().out
+        assert "not overwriting" in out
+    finally:
+        if not existed and os.path.exists(dst):
+            os.remove(dst)
