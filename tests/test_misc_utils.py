@@ -97,12 +97,10 @@ def test_icl_xfmr_generator(tmp_path):
         assert config.algo.transformer.vq_vae_enabled
 
 
-def test_macros_and_setup(tmp_path, capsys, monkeypatch):
+def test_macros_and_setup(capsys):
     """macros defaults + setup_macros private-override bootstrap
     (reference robomimic/macros.py + scripts/setup_macros.py)."""
-    import importlib
     import os
-    import shutil
 
     from robot_manipulation_vq_vae_tpu import macros
 
