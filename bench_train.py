@@ -12,8 +12,6 @@ import json
 import os
 import time
 
-import numpy as np
-
 
 def main(mixed_precision=False, batch_size=64):
     import jax

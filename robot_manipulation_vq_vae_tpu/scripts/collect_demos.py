@@ -41,7 +41,6 @@ def collect_trajectory(env, device, mirror_actions=True, max_fr=30):
 
 def main(args):
     try:
-        import robosuite
         from robosuite.devices import Keyboard, SpaceMouse
     except ImportError as e:
         raise ImportError(

@@ -6,7 +6,6 @@ from robot_manipulation_vq_vae_tpu.scripts.config_gen.icl_xfmr_gen import (
     DEFAULT_TASKS,
     make_base_config,
 )
-from robot_manipulation_vq_vae_tpu.scripts.config_gen import icl_xfmr_gen
 
 if __name__ == "__main__":
     import argparse

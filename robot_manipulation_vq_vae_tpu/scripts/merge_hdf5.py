@@ -7,7 +7,6 @@ import argparse
 import json
 
 import h5py
-import numpy as np
 
 from robot_manipulation_vq_vae_tpu.utils.file_utils import (
     create_hdf5_filter_key,
