@@ -12,9 +12,6 @@ from robot_manipulation_vq_vae_tpu.utils.file_utils import (
     create_hdf5_filter_key,
 )
 
-# attrs worth carrying over when they agree across all sources
-MERGE_ATTRS = (("env_args", True), ("total", False))
-
 
 def _copy_shared_attr(new_grp, sources, attr_name, json_load=False):
     vals = [
