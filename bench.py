@@ -1,15 +1,24 @@
-"""North-star benchmark: LipVQ-VAE action-chunk tokenize + detokenize
-throughput on one chip.
+"""Driver benchmark. ONE JSON line with:
 
-Target (BASELINE.json "north_star"): >= 10,000 action chunks/sec/chip for the
-full roundtrip (encoder MLP -> Lipschitz latent -> nearest-code search over a
-1024 x 210 codebook -> decoder MLP), at the shipped-config sizes
-(feature_dim=12, latent_dim=210, num_codes=1024).
+1. the north-star metric (primary fields): LipVQ-VAE action-chunk
+   tokenize + detokenize throughput on one chip — target
+   >= 10,000 chunks/sec/chip (BASELINE.json "north_star") at the
+   shipped-config sizes (feature_dim=12, latent_dim=210, num_codes=1024);
+2. a compiled-Pallas numerics assertion (TPU only): the fused roundtrip
+   megakernel must match the plain-XLA path within the documented
+   tanh-GELU tolerance, else this script FAILS — so a recorded bench
+   result implies compiled-kernel correctness, not just speed;
+3. flagship train-step throughput (extra fields): one
+   ICLTransformerHVQVAE bf16 train step at the reference's shipped
+   scale (batch 64, 3x128x128 cams, 6L/512d/8H, ctx 16) measured via
+   bench_train.measure — the real workload, reference hot loop
+   ``robomimic/utils/train_utils.py:1238-1328``.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Set RMVQ_BENCH_FLAGSHIP=0 to skip (3).
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -46,6 +55,66 @@ def main():
     # fused Pallas megakernel on TPU (whole tokenize+detokenize VMEM-resident,
     # ~1.5x over the op-by-op path); standard path elsewhere
     method = model.roundtrip_fused if on_tpu else model.roundtrip
+
+    pallas_max_err = None
+    if on_tpu:
+        # Compiled-kernel correctness gate: the fused megakernel's only
+        # approximation is tanh-GELU (ops/pallas/lipvq_kernel.py:151-153);
+        # assignments must agree exactly and recon within 5e-3. Run it on
+        # rescaled weights (activations ~unit scale) — at default init the
+        # activations are so small that tanh- and erf-GELU are bit-identical
+        # in fp32 and the check would be trivially satisfied.
+        leaves, treedef = jax.tree_util.tree_flatten(variables)
+        chk_rng = np.random.RandomState(11)
+        chk_vars = jax.tree_util.tree_unflatten(
+            treedef,
+            [
+                jnp.asarray(chk_rng.normal(0, 0.5, leaf.shape).astype(np.float32))
+                for leaf in leaves
+            ],
+        )
+        x_chk = jnp.asarray(
+            np.random.RandomState(7).randn(4096, FEATURE_DIM).astype(np.float32)
+        )
+        recon_f, idx_f = jax.jit(
+            lambda v, x: model.apply(v, x, method=model.roundtrip_fused)
+        )(chk_vars, x_chk)
+
+        def xla_reference(v, x):
+            """Same math as the fused kernel (incl. tanh-GELU) in plain XLA,
+            so any disagreement is Pallas codegen, not the documented
+            GELU-flavor approximation."""
+            p = v["params"]
+            g = lambda t: jax.nn.gelu(t, approximate=True)  # noqa: E731
+            h = g(x @ p["enc1"]["kernel"] + p["enc1"]["bias"])
+            h = g(h @ p["enc2"]["kernel"] + p["enc2"]["bias"])
+            W, ci = p["to_latent"]["W"], p["to_latent"]["ci"]
+            absrowsum = jnp.sum(jnp.abs(W), axis=1, keepdims=True)
+            scale = jnp.minimum(1.0, jax.nn.softplus(ci)[:, None] / absrowsum)
+            z = jax.nn.sigmoid(h @ (W * scale).T + p["to_latent"]["b"])
+            cb = p["quantizer"]["codebook"]
+            dist = jnp.sum(cb * cb, -1)[None, :] - 2.0 * (z @ cb.T)
+            idx = jnp.argmin(dist, -1)
+            zq = cb[idx]
+            d = g(zq @ p["dec1"]["kernel"] + p["dec1"]["bias"])
+            d = g(d @ p["dec2"]["kernel"] + p["dec2"]["bias"])
+            return d @ p["to_output"]["kernel"] + p["to_output"]["bias"], idx
+
+        recon_x, idx_x = jax.jit(xla_reference)(chk_vars, x_chk)
+        idx_mismatch = int(jnp.sum(idx_f != idx_x))
+        agree = (idx_f == idx_x)[:, None]
+        pallas_max_err = float(
+            jnp.max(jnp.abs(jnp.where(agree, recon_f - recon_x, 0.0)))
+        )
+        assert idx_mismatch <= 4, (
+            f"Pallas fused kernel disagrees with same-math XLA on "
+            f"{idx_mismatch}/4096 codebook assignments (ulp-level Voronoi "
+            f"ties would explain <=4)"
+        )
+        assert pallas_max_err < 5e-3, (
+            f"Pallas fused recon max|err|={pallas_max_err:.2e} exceeds "
+            f"tolerance 5e-3 on assignment-agreeing rows"
+        )
 
     @jax.jit
     def roundtrip(v, x):
@@ -84,16 +153,32 @@ def main():
     per_iter = max((t_long - t_short) / (n_long - n_short), 1e-9)
     chunks_per_sec = BATCH / per_iter
     baseline = 10_000.0  # north-star target (BASELINE.md)
-    print(
-        json.dumps(
-            {
-                "metric": "lipvq_tokenize_detokenize_throughput",
-                "value": round(chunks_per_sec, 1),
-                "unit": "chunks/sec/chip",
-                "vs_baseline": round(chunks_per_sec / baseline, 3),
-            }
-        )
-    )
+    result = {
+        "metric": "lipvq_tokenize_detokenize_throughput",
+        "value": round(chunks_per_sec, 1),
+        "unit": "chunks/sec/chip",
+        "vs_baseline": round(chunks_per_sec / baseline, 3),
+    }
+    if pallas_max_err is not None:
+        result["pallas_recon_max_err"] = round(pallas_max_err, 6)
+
+    # flagship train-step throughput (the real workload): bf16 production
+    # config at the reference's shipped scale; see bench_train.py
+    flagship_default = "1" if on_tpu else "0"  # CPU can't do batch-64 images
+    if os.environ.get("RMVQ_BENCH_FLAGSHIP", flagship_default) == "1":
+        try:
+            import bench_train
+
+            flagship = bench_train.measure(
+                mixed_precision=on_tpu, batch_size=64, n_long=6
+            )
+            result["flagship_train_steps_per_sec"] = flagship["value"]
+            result["flagship_samples_per_sec"] = flagship["samples_per_sec"]
+            result["flagship_compile_sec"] = flagship["compile_sec"]
+            result["flagship_mixed_precision"] = flagship["mixed_precision"]
+        except Exception as e:  # never lose the north-star number
+            result["flagship_error"] = f"{type(e).__name__}: {e}"[:300]
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -13,7 +13,8 @@ import os
 import time
 
 
-def main(mixed_precision=False, batch_size=64):
+def measure(mixed_precision=False, batch_size=64, n_long=11):
+    """Measure flagship train-step throughput; returns the result dict."""
     import jax
     import jax.numpy as jnp
 
@@ -118,22 +119,21 @@ def main(mixed_precision=False, batch_size=64):
 
     chain(1)
     t_short, n_short = chain(1), 1
-    n_long = 11
     t_long = chain(n_long)
     per_step = max((t_long - t_short) / (n_long - n_short), 1e-9)
     steps_per_sec = 1.0 / per_step
-    print(
-        json.dumps(
-            {
-                "metric": "icl_hvqvae_train_step_throughput",
-                "value": round(steps_per_sec, 3),
-                "unit": f"steps/sec (batch {B}, 3x128x128 cams)",
-                "samples_per_sec": round(steps_per_sec * B, 1),
-                "compile_sec": round(compile_time, 1),
-                "mixed_precision": bool(mixed_precision),
-            }
-        )
-    )
+    return {
+        "metric": "icl_hvqvae_train_step_throughput",
+        "value": round(steps_per_sec, 3),
+        "unit": f"steps/sec (batch {B}, 3x128x128 cams)",
+        "samples_per_sec": round(steps_per_sec * B, 1),
+        "compile_sec": round(compile_time, 1),
+        "mixed_precision": bool(mixed_precision),
+    }
+
+
+def main(mixed_precision=False, batch_size=64):
+    print(json.dumps(measure(mixed_precision, batch_size)))
 
 
 if __name__ == "__main__":
