@@ -932,6 +932,46 @@ class ICLTransformer_GMM(ICLTransformer):
                 1e-3, weight_decay=1e-4
             )
 
+    # --- FAST modality host stage ---------------------------------------
+    # Reference runs FAST-tokenize -> CLIP-text-encode inline in the encoder
+    # forward (obs_nets.py:1308-1336). On TPU the frozen host stage bridges
+    # into the jitted step via io_callback; the device sees [B, T, 512]
+    # latents and only the FastProjection MLP trains.
+
+    _fast_tokenizer = None
+
+    def set_fast_tokenizer(self, tokenizer):
+        """Inject a :class:`FastActionTokenizer` (tests inject stubs here)."""
+        self._fast_tokenizer = tokenizer
+
+    def _get_fast_tokenizer(self):
+        if self._fast_tokenizer is None:
+            from robot_manipulation_vq_vae_tpu.models.tokenizers.fast import (
+                FastActionTokenizer,
+            )
+
+            proc_dir = os.environ.get("RMVQ_FAST_PROCESSOR_DIR")
+            if not proc_dir:
+                raise RuntimeError(
+                    "fast_enabled=True requires a FAST processor: set "
+                    "RMVQ_FAST_PROCESSOR_DIR (and RMVQ_CLIP_DIR) or call "
+                    "set_fast_tokenizer()"
+                )
+            self._fast_tokenizer = FastActionTokenizer(
+                output_dim=0,  # projection lives inside the policy encoder
+                fast_processor_dir=proc_dir,
+                clip_model_dir=os.environ.get("RMVQ_CLIP_DIR"),
+                seq_len=self.context_length,
+            )
+        return self._fast_tokenizer
+
+    def _maybe_fast_latents(self, ctx_act):
+        """[B, T, A] raw context actions -> [B, T, 512] CLIP latents when
+        fast_enabled; identity otherwise. Safe under jit (io_callback)."""
+        if not self.fast_enabled:
+            return ctx_act
+        return self._get_fast_tokenizer().clip_latents_io_callback(ctx_act)
+
     _VQ_PATH = ("net", "encoder", "action_network")
 
     def _vq_subtree(self, policy_params):
@@ -958,7 +998,7 @@ class ICLTransformer_GMM(ICLTransformer):
         mid = next(iter(obs.values())).shape[0] // 2
         ctx_obs = {k: v[:mid] for k, v in obs.items()}
         tr_obs = {k: v[mid:] for k, v in obs.items()}
-        ctx_act = jnp.asarray(batch["actions"])[:mid]
+        ctx_act = self._maybe_fast_latents(jnp.asarray(batch["actions"])[:mid])
         variables = self.nets["policy"].init(
             {"params": rng}, tr_obs, ctx_obs, ctx_act, train=False,
             method=self.nets["policy"].forward_train,
@@ -991,6 +1031,7 @@ class ICLTransformer_GMM(ICLTransformer):
             ctx_obs = {k: v[:mid] for k, v in obs.items()}
             tr_obs = {k: v[mid:] for k, v in obs.items()}
             ctx_act, tr_act = batch["actions"][:mid], batch["actions"][mid:]
+            ctx_act = self._maybe_fast_latents(ctx_act)
             pol_params = params["policy"]
             pol_aux = state.aux["policy"]
             if bf16:
@@ -1114,7 +1155,8 @@ class ICLTransformer_GMM(ICLTransformer):
         def infer(params, aux, obs, ctx_obs, ctx_actions, key):
             dist, _ = policy.apply(
                 {"params": params, **aux}, device_process_obs(obs),
-                device_process_obs(ctx_obs), ctx_actions,
+                device_process_obs(ctx_obs),
+                self._maybe_fast_latents(ctx_actions),
                 train=False, method=policy.forward_train,
             )
             return self._select_output(dist.sample(key))

@@ -12,10 +12,11 @@ tokenize+CLIP encode happens on CPU (via ``jax.experimental.io_callback``
 inside a jitted step, or as an offline precompute), and only the trainable
 MLP projection runs on device.
 
-This module is gated: it requires the artifacts to be available locally
-(zero-egress environments cannot download them). Construct with
-``FastActionTokenizer(artifacts_dir=...)`` or use
-:class:`FastProjection` with precomputed CLIP latents.
+Artifact loading is gated (zero-egress environments cannot download them):
+construct with ``FastHostEncoder(fast_processor_dir, clip_model_dir)`` when
+the artifacts are local, or inject deterministic components with
+``FastHostEncoder.from_components(processor, clip_encode_fn)`` (used by the
+test suite and by any caller that precomputes CLIP latents offline).
 """
 
 import functools
@@ -30,6 +31,23 @@ from robot_manipulation_vq_vae_tpu.utils.initializers import (
 )
 
 CLIP_TEXT_DIM = 512
+
+
+def resample_latents(latents, seq_len):
+    """Resample [D, dim] rows to exactly [seq_len, dim].
+
+    Reference semantics (``obs_nets.py:1322-1332``): if D >= seq_len, take
+    rows at ``linspace(0, D-1, seq_len)`` truncated to int (torch
+    ``.long()``); otherwise zero-pad below D.
+    """
+    latents = np.asarray(latents)
+    d, dim = latents.shape
+    if d >= seq_len:
+        idx = np.linspace(0, d - 1, seq_len).astype(np.int64)
+        return latents[idx]
+    out = np.zeros((seq_len, dim), latents.dtype)
+    out[:d] = latents
+    return out
 
 
 class FastProjection(nn.Module):
@@ -56,8 +74,17 @@ class FastHostEncoder:
 
     Mirrors reference behavior: per sample, tokenize the [T, A] action chunk,
     CLIP-encode the stringified token ids, L2-normalize, then resample the
-    D token embeddings to exactly seq_len rows (linspace subsample if D >=
-    seq_len, zero-pad otherwise; reference ``obs_nets.py:1308-1335``).
+    D token embeddings to exactly seq_len rows (reference
+    ``obs_nets.py:1308-1335``).
+
+    Two construction paths:
+
+    - ``FastHostEncoder(fast_processor_dir, clip_model_dir)`` loads the HF
+      artifacts (network-free if the dirs are local).
+    - ``FastHostEncoder.from_components(processor, clip_encode_fn)`` injects
+      the two frozen stages directly: ``processor(actions_1ta) -> [token
+      ids]`` (batch-of-1 call, reference ``obs_nets.py:1312``) and
+      ``clip_encode_fn(texts) -> [D, 512]`` float array (unnormalized).
     """
 
     def __init__(self, fast_processor_dir, clip_model_dir=None):
@@ -74,33 +101,39 @@ class FastHostEncoder:
             from transformers import CLIPTokenizer, CLIPTextModelWithProjection
 
             src = clip_model_dir or "openai/clip-vit-base-patch32"
-            self._clip_tok = CLIPTokenizer.from_pretrained(src)
-            self._clip = CLIPTextModelWithProjection.from_pretrained(src)
-            self._clip.eval()
+            clip_tok = CLIPTokenizer.from_pretrained(src)
+            clip_model = CLIPTextModelWithProjection.from_pretrained(src)
+            clip_model.eval()
         except Exception as e:  # pragma: no cover
             raise RuntimeError(
                 "FAST modality requires a local CLIP text model "
                 "(zero-egress environments must pass clip_model_dir)"
             ) from e
 
+        def clip_encode(texts):
+            import torch
+
+            inputs = clip_tok(texts, return_tensors="pt", padding=True)
+            with torch.no_grad():
+                latents = clip_model(**inputs).text_embeds  # [D, 512]
+            return latents.numpy().astype(np.float32)
+
+        self._clip_encode = clip_encode
+
+    @classmethod
+    def from_components(cls, processor, clip_encode_fn):
+        self = cls.__new__(cls)
+        self._processor = processor
+        self._clip_encode = clip_encode_fn
+        return self
+
     def encode_chunk(self, actions_ta, seq_len):
         """[T, A] float array -> [seq_len, 512] float32."""
-        import torch
-
         tokens = self._processor(np.asarray(actions_ta)[None])[0]
         texts = [str(t) for t in tokens]
-        inputs = self._clip_tok(texts, return_tensors="pt", padding=True)
-        with torch.no_grad():
-            latents = self._clip(**inputs).text_embeds  # [D, 512]
-        latents = latents / latents.norm(dim=-1, keepdim=True)
-        latents = latents.numpy().astype(np.float32)
-        d = latents.shape[0]
-        if d >= seq_len:
-            idx = np.linspace(0, d - 1, seq_len).astype(np.int64)
-            return latents[idx]
-        out = np.zeros((seq_len, CLIP_TEXT_DIM), np.float32)
-        out[:d] = latents
-        return out
+        latents = np.asarray(self._clip_encode(texts), np.float32)
+        latents = latents / np.linalg.norm(latents, axis=-1, keepdims=True)
+        return resample_latents(latents, seq_len).astype(np.float32)
 
     def encode_batch(self, actions_bta, seq_len):
         """[B, T, A] -> [B, seq_len, 512]."""
@@ -112,13 +145,16 @@ class FastHostEncoder:
 class FastActionTokenizer:
     """End-to-end FAST modality: host encode (io_callback) + device MLP.
 
-    Use ``host_latents_fn(actions) -> [B, S, 512]`` inside a jitted step via
-    :func:`clip_latents_io_callback`.
+    Use ``clip_latents_io_callback(actions)`` inside a jitted step to get
+    [B, S, 512] latents for the device-side :class:`FastProjection`.
     """
 
-    def __init__(self, output_dim, fast_processor_dir, clip_model_dir=None,
-                 seq_len=10):
-        self.host = FastHostEncoder(fast_processor_dir, clip_model_dir)
+    def __init__(self, output_dim, fast_processor_dir=None, clip_model_dir=None,
+                 seq_len=10, host_encoder=None):
+        if host_encoder is not None:
+            self.host = host_encoder
+        else:
+            self.host = FastHostEncoder(fast_processor_dir, clip_model_dir)
         self.projection = FastProjection(output_dim=output_dim)
         self.seq_len = seq_len
 
