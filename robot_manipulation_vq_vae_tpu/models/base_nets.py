@@ -364,27 +364,97 @@ class ResNet18ConvFiLMCrossAttn(nn.Module):
         return ResNet18Conv.output_shape(input_shape)
 
 
-class R3MConv(nn.Module):
-    """Frozen R3M visual encoder interface (reference ``base_nets.py:1091``).
+_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+_IMAGENET_STD = (0.229, 0.224, 0.225)
 
-    R3M weights are an external torch artifact; in zero-egress environments
-    construct the features offline and feed them as low_dim obs, or point
-    ``RMVQ_R3M_FEATURES`` at a converted trunk. Instantiating without the
-    artifact raises with instructions (matching the gated-import policy)."""
+
+def r3m_preprocess(x):
+    """The reference R3M input pipeline (``base_nets.py:1136-1141``):
+    Resize(shortest side -> 256, bilinear) -> CenterCrop(224) -> ImageNet
+    normalize. ``x``: [..., H, W, 3] float in [0, 1] (NHWC)."""
+    *lead, h, w, c = x.shape
+    # torchvision Resize(int): shortest side -> 256, long side truncated
+    if h <= w:
+        nh, nw = 256, int(256 * w / h)
+    else:
+        nh, nw = int(256 * h / w), 256
+    x = jax.image.resize(x, (*lead, nh, nw, c), method="bilinear")
+    top = int(round((nh - 224) / 2.0))
+    left = int(round((nw - 224) / 2.0))
+    x = x[..., top : top + 224, left : left + 224, :]
+    mean = jnp.asarray(_IMAGENET_MEAN, x.dtype)
+    std = jnp.asarray(_IMAGENET_STD, x.dtype)
+    return (x - mean) / std
+
+
+class R3MConv(nn.Module):
+    """Frozen R3M visual encoder (reference ``base_nets.py:1091-1186``):
+    R3M preprocess + ResNet trunk + global average pool, output [B, 1, 1, D]
+    (NHWC twin of the reference's [B, D, 1, 1]).
+
+    The R3M weights are an external torch artifact. Load a converted trunk
+    with :func:`robot_manipulation_vq_vae_tpu.utils.ckpt_conversion.\
+convert_r3m_trunk` (or point ``RMVQ_R3M_FEATURES`` at a converted ``.npz``
+    and use :func:`load_r3m_variables`), then merge the returned variables
+    into this module's ``trunk`` collection. With ``freeze=True`` (the
+    reference default) the trunk runs in eval mode and gradients are stopped,
+    so the weights never move even when embedded in a trained policy."""
 
     r3m_model_class: str = "resnet18"
+    freeze: bool = True
 
     @nn.compact
     def __call__(self, x, train=False):
-        raise NotImplementedError(
-            "R3M requires the pretrained torch artifact (pip `r3m`); convert "
-            "the trunk with utils/ckpt_conversion.convert_resnet18 and load "
-            "it into a ResNet18Conv backbone instead."
+        trunk_cls = {
+            "resnet18": ResNet18Conv,
+            "resnet34": ResNet34Conv,
+            "resnet50": ResNet50Conv,
+        }[self.r3m_model_class]
+        x = r3m_preprocess(x)
+        feats = trunk_cls(name="trunk")(
+            x, train=False if self.freeze else train
         )
+        pooled = jnp.mean(feats, axis=(-3, -2), keepdims=True)  # avgpool
+        if self.freeze:
+            pooled = jax.lax.stop_gradient(pooled)
+        return pooled
 
-    @staticmethod
-    def output_shape(input_shape):
-        return [512]
+    def output_shape(self, input_shape=None):
+        out_dim = 2048 if self.r3m_model_class == "resnet50" else 512
+        return [1, 1, out_dim]
+
+
+def load_r3m_variables(path=None, model_class="resnet18"):
+    """Load converted R3M trunk variables for :class:`R3MConv`.
+
+    ``path`` (or ``$RMVQ_R3M_FEATURES``) names either a ``.npz`` produced by
+    saving the output of ``ckpt_conversion.convert_r3m_trunk`` flat, or a
+    torch ``.pth`` R3M state dict (converted on the fly, torch required).
+    Returns ``{"params": {"trunk": ...}, "batch_stats": {"trunk": ...}}``
+    ready to merge into the enclosing model's variables."""
+    import os
+
+    path = path or os.environ.get("RMVQ_R3M_FEATURES")
+    if not path:
+        raise RuntimeError(
+            "R3M trunk artifact not found: pass path= or set "
+            "RMVQ_R3M_FEATURES to a converted .npz / torch .pth state dict"
+        )
+    from robot_manipulation_vq_vae_tpu.utils.ckpt_conversion import (
+        convert_r3m_trunk,
+        unflatten_npz,
+    )
+
+    if path.endswith(".npz"):
+        import numpy as _np
+
+        return unflatten_npz(dict(_np.load(path)))
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return convert_r3m_trunk(sd, model_class=model_class)
 
 
 class MVPConv(nn.Module):

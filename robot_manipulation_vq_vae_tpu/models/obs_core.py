@@ -82,7 +82,8 @@ class VisualCore(nn.Module):
             x = backbone(x, lang_emb, train=train)
         else:
             x = backbone(x, train=train)
-        feat_shape = bcls.output_shape(self.input_shape)
+        # instance call: R3MConv's output dim depends on r3m_model_class
+        feat_shape = backbone.output_shape(self.input_shape)
 
         if self.pool_class is not None:
             pcls = _POOL_CLASSES[self.pool_class]
@@ -108,7 +109,9 @@ class VisualCore(nn.Module):
         input_shape = input_shape or self.input_shape
         if self.feature_dimension is not None:
             return [self.feature_dimension]
-        feat_shape = _BACKBONE_CLASSES[self.backbone_class].output_shape(input_shape)
+        bcls = _BACKBONE_CLASSES[self.backbone_class]
+        bkw = _filter_kwargs(bcls, dict(self.backbone_kwargs or {}))
+        feat_shape = bcls(**bkw).output_shape(input_shape)
         if self.pool_class is not None:
             num_kp = (self.pool_kwargs or {}).get("num_kp", 32)
             if self.pool_class == "SpatialSoftmax":

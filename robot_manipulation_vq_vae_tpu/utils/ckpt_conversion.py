@@ -173,6 +173,56 @@ def convert_resnet18_film(sd, prefix=""):
     return params, stats
 
 
+def convert_r3m_trunk(sd, model_class="resnet18"):
+    """R3M checkpoint (``module.convnet.*`` DDP naming, or a plain
+    torchvision state dict) -> variables for :class:`R3MConv`:
+    ``{"params": {"trunk": ...}, "batch_stats": {"trunk": ...}}``.
+
+    Reference ``R3MConv`` (base_nets.py:1091-1152) wraps
+    ``load_r3m(model_class).module.convnet``; only the resnet18/34-shape
+    BasicBlock trunk is convertible with the resnet18 table today.
+    """
+    if model_class != "resnet18":
+        raise NotImplementedError(
+            "only the r3m resnet18 trunk converter is implemented"
+        )
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    # strip any wrapper prefix up to and including "convnet."
+    stripped = {}
+    for k, v in sd.items():
+        idx = k.find("convnet.")
+        stripped[k[idx + len("convnet."):] if idx >= 0 else k] = v
+    params, stats = convert_resnet18(stripped)
+    return {"params": {"trunk": params}, "batch_stats": {"trunk": stats}}
+
+
+def flatten_variables(variables, sep="/"):
+    """Nested variables tree -> flat {path: ndarray} (npz-writable)."""
+    out = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + (k,))
+        else:
+            out[sep.join(path)] = np.asarray(node)
+
+    walk(variables, ())
+    return out
+
+
+def unflatten_npz(flat, sep="/"):
+    """Inverse of :func:`flatten_variables`."""
+    out = {}
+    for key, value in flat.items():
+        node = out
+        parts = key.split(sep)
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = np.asarray(value)
+    return out
+
+
 def convert_gpt_backbone(sd, prefix="", num_layers=6):
     """Reference GPT_Backbone -> our GPT_Backbone params."""
     p = prefix
