@@ -139,16 +139,21 @@ def test_get_dataset_info_and_playback_images(tmp_path, capsys):
     assert "total transitions: 12" in out
     assert "total trajectories: 2" in out
 
-    try:
-        import imageio  # noqa: F401
+    from robot_manipulation_vq_vae_tpu.scripts.playback_dataset import (
+        playback_trajectory_with_obs,
+    )
 
-        from robot_manipulation_vq_vae_tpu.scripts.playback_dataset import (
-            playback_images,
+    class FrameCollector:
+        def __init__(self):
+            self.frames = []
+
+        def append_data(self, frame):
+            self.frames.append(np.asarray(frame))
+
+    with h5py.File(p, "r") as f:
+        writer = FrameCollector()
+        playback_trajectory_with_obs(
+            f["data/demo_0"], writer, video_skip=2, image_names=["cam"]
         )
-
-        video = str(tmp_path / "playback.mp4")
-        playback_images(p, video, image_keys=["cam_image"], n=2,
-                        video_skip=2)
-        assert os.path.getsize(video) > 0
-    except (ImportError, ValueError):
-        pytest.skip("no mp4 writer available on this host")
+    assert len(writer.frames) == 3  # ceil(5 / 2)
+    assert writer.frames[0].shape == (8, 8, 3)
