@@ -44,3 +44,45 @@ def test_generator_emits_loadable_config(algo_name, module_name, tmp_path):
     assert sh
     body = open(sh[0]).read()
     assert "scripts.train" in body
+
+
+def test_hyperparam_helper_example_sweep(tmp_path):
+    """The hyperparam_helper template generates the reference's example
+    sweep: 2 LR x 2 GMM x 2 arch = 8 configs + a runnable script
+    (reference robomimic/scripts/hyperparam_helper.py:44-110)."""
+    from robot_manipulation_vq_vae_tpu.scripts.hyperparam_helper import (
+        make_generator,
+    )
+
+    base = tmp_path / "base.json"
+    base.write_text(json.dumps({
+        "algo_name": "bc",
+        "experiment": {"name": "scan"},
+        "train": {"output_dir": str(tmp_path / "out")},
+    }))
+    script = str(tmp_path / "out.sh")
+    gen = make_generator(str(base), script)
+    gen.generate()
+
+    cfgs = sorted(glob.glob(str(tmp_path / "*.json")))
+    cfgs = [c for c in cfgs if not c.endswith("base.json")]
+    assert len(cfgs) == 8
+    lrs, gmms, dims = set(), set(), set()
+    for p in cfgs:
+        with open(p) as f:
+            d = json.load(f)
+        assert d["algo"]["rnn"]["enabled"] is True  # group-0 constants
+        assert d["train"]["seq_length"] == 10
+        lrs.add(d["algo"]["optim_params"]["policy"]["learning_rate"]["initial"])
+        gmms.add(d["algo"]["gmm"]["enabled"])
+        # grouped params sweep together
+        if d["algo"]["rnn"]["hidden_dim"] == 400:
+            assert d["algo"]["actor_layer_dims"] == [1024, 1024]
+        else:
+            assert d["algo"]["actor_layer_dims"] == []
+        dims.add(d["algo"]["rnn"]["hidden_dim"])
+    assert lrs == {1e-3, 1e-4}
+    assert gmms == {True, False}
+    assert dims == {400, 1000}
+    body = open(script).read()
+    assert body.count("scripts.train") == 8
