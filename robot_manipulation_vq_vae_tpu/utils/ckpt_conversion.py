@@ -244,6 +244,169 @@ def convert_gpt_backbone(sd, prefix="", num_layers=6):
     return params
 
 
+def convert_transformer_actor(sd, config, prefix="policy."):
+    """Reference ``TransformerActorNetwork`` (MIMO_Transformer) state dict ->
+    our policy tree: ``(params, batch_stats)`` for
+    ``policy_nets.TransformerActorNetwork``.
+
+    Key layout (verified against a reference instance built from
+    ``robomimic/algo/icl.py:915-976``):
+      policy.nets.encoder.nets.obs.obs_nets.<rgb_key>.{backbone,pool,nets.2}
+      policy.nets.{embed_encoder,embed_ln}; policy.params.embed_timestep
+      policy.nets.transformer.nets.transformer.{i}; policy.nets.decoder
+    """
+    p = prefix
+    tf_cfg = config["algo"]["transformer"]
+    rgb_keys = config["observation"]["modalities"]["obs"].get("rgb", [])
+
+    enc_params, enc_stats = {}, {}
+    for key in rgb_keys:
+        base = f"{p}nets.encoder.nets.obs.obs_nets.{key}."
+        trunk_params, trunk_stats = convert_resnet18_film(
+            sd, prefix=base + "backbone."
+        )
+        kp_w = sd[base + "pool.nets.weight"]  # [K, C, 1, 1]
+        enc_params[f"core_{key}"] = {
+            "backbone": trunk_params,
+            "pool": {
+                "kp_conv": {
+                    "kernel": np.transpose(kp_w, (2, 3, 1, 0)),
+                    "bias": sd[base + "pool.nets.bias"],
+                }
+            },
+            "proj": _lin(sd, base + "nets.2"),
+        }
+        enc_stats[f"core_{key}"] = {"backbone": trunk_stats}
+
+    net = {
+        "embedding": {
+            "embed_encoder": _lin(sd, p + "nets.embed_encoder"),
+            "embed_ln": _ln(sd, p + "nets.embed_ln"),
+            "embed_timestep": sd[p + "params.embed_timestep"],
+        },
+        "transformer": convert_gpt_backbone(
+            sd, prefix=p + "nets.transformer.",
+            num_layers=tf_cfg["num_layers"],
+        ),
+        "decoder": {"head_action": _lin(sd, p + "nets.decoder.nets.action")},
+    }
+    stats = {}
+    if enc_params:
+        net["encoder"] = {"enc_obs": enc_params}
+        stats = {"net": {"encoder": {"enc_obs": enc_stats}}}
+    return {"net": net}, stats
+
+
+# stray non-tensor keys the reference's serialize() adds and fix_ckpt strips
+# (reference fix_ckpt.py:6-55, icl.py:1374-1391)
+FLAGSHIP_STRAY_KEYS = ("vq_vae_enabled", "vqvae_config")
+
+
+def detect_gaussian_inversion(config, stats):
+    """Action keys whose normalization stats carry the reference's gaussian
+    scale/offset inversion (reference dataset.py:1246-1250 stores the mean
+    under "scale" and the std under "offset")."""
+    if stats is None:
+        return []
+    action_config = config.get("train", {}).get("action_config", {})
+    return [
+        k for k in stats
+        if action_config.get(k, {}).get("normalization") == "gaussian"
+    ]
+
+
+def remap_gaussian_stats(stats, keys):
+    """Swap scale<->offset for @keys, converting reference-inverted gaussian
+    stats to the conventional mapping (scale=std, offset=mean).
+
+    NOTE: a policy trained by the reference saw actions normalized with the
+    INVERTED semantics ((a - std) / mean); keeping the stats verbatim is the
+    behavior-preserving choice for deployment. Remap only when re-deriving
+    normalization locally (e.g. to resume training on our data pipeline).
+    """
+    out = dict(stats)
+    for k in keys:
+        out[k] = {
+            **stats[k],
+            "scale": stats[k]["offset"],
+            "offset": stats[k]["scale"],
+        }
+    return out
+
+
+def convert_flagship_checkpoint(ckpt, fix_gaussian=False):
+    """Full reference ``ICLTransformerHVQVAE`` ``.pth`` dict (as loaded by
+    ``file_utils.load_reference_torch_checkpoint``) -> our self-describing
+    checkpoint dict, ready for ``policy_from_checkpoint(ckpt_dict=...)``.
+
+    Handles the stray non-tensor keys fix_ckpt strips, the vqvae EMA/codebook
+    buffers (-> the "vq" aux collection), ResNet BN running stats
+    (-> "batch_stats"), and gaussian normalization-stat inversion detection
+    (remapped only when @fix_gaussian; see :func:`remap_gaussian_stats`).
+    """
+    import json
+
+    config = ckpt["config"]
+    if isinstance(config, str):
+        config = json.loads(config)
+    model = ckpt["model"]
+    sd = {
+        k: np.asarray(v)
+        for k, v in model.items()
+        if k not in FLAGSHIP_STRAY_KEYS
+    }
+
+    pol_params, pol_stats = convert_transformer_actor(sd, config)
+    vq_cfg = config["algo"]["transformer"]["vqvae"]
+    vq_params, vq_state = convert_hvqvae(
+        sd, prefix="vqvae.",
+        num_stages=vq_cfg["num_stages"],
+        num_layers_per_stage=vq_cfg["num_layers_per_stage"],
+    )
+
+    aux_policy = {"batch_stats": pol_stats} if pol_stats else {}
+    # reference shape metadata stores images CHW; ours are HWC
+    shape_meta = dict(ckpt.get("shape_metadata", {}))
+    if "all_shapes" in shape_meta:
+        rgb_keys = set(
+            config["observation"]["modalities"]["obs"].get("rgb", [])
+        )
+        shape_meta["all_shapes"] = {
+            k: (list(s[1:]) + [s[0]] if k in rgb_keys and len(s) == 3
+                else list(s))
+            for k, s in shape_meta["all_shapes"].items()
+        }
+
+    out = {
+        "model": {
+            "params": {"policy": pol_params, "vqvae": vq_params},
+            "aux": {"policy": aux_policy, "vqvae": {"vq": vq_state}},
+        },
+        "config": json.dumps(config),
+        "algo_name": ckpt.get("algo_name", config.get("algo_name", "icl")),
+        "env_metadata": ckpt.get("env_metadata", {}),
+        "shape_metadata": shape_meta,
+    }
+    for stats_key in ("obs_normalization_stats", "action_normalization_stats"):
+        if ckpt.get(stats_key) is not None:
+            out[stats_key] = ckpt[stats_key]
+    inverted = detect_gaussian_inversion(
+        config, out.get("action_normalization_stats")
+    )
+    if inverted:
+        print(
+            "[convert_flagship_checkpoint] reference gaussian scale/offset "
+            f"inversion detected for action keys {inverted} "
+            + ("- remapped to conventional semantics" if fix_gaussian
+               else "- kept verbatim (behavior-preserving)")
+        )
+        if fix_gaussian:
+            out["action_normalization_stats"] = remap_gaussian_stats(
+                out["action_normalization_stats"], inverted
+            )
+    return out
+
+
 def report_unmapped(sd, consumed_prefixes):
     """List state-dict keys not covered by any converter prefix."""
     return [
