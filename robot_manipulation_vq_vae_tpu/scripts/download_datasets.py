@@ -40,6 +40,13 @@ def main(args):
 
 
 if __name__ == "__main__":
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--tasks", nargs="+", default=None)
+    parser = argparse.ArgumentParser(
+        description="Dataset AVAILABILITY CHECKER (zero-egress twin of the "
+        "reference download_datasets.py): verifies registry-expected dataset "
+        "paths and reports what is missing and where to place it. It does "
+        "NOT download anything - fetch on a connected machine with the "
+        "upstream script and copy the files to the printed paths."
+    )
+    parser.add_argument("--tasks", nargs="+", default=None,
+                        help="subset of registry task names (default: all)")
     main(parser.parse_args())
