@@ -457,22 +457,116 @@ def load_r3m_variables(path=None, model_class="resnet18"):
     return convert_r3m_trunk(sd, model_class=model_class)
 
 
+class ViTBlock(nn.Module):
+    """Pre-LN transformer encoder block (timm/MAE layout: norm1 -> qkv
+    attention -> proj; norm2 -> fc1 -> GELU -> fc2)."""
+
+    embed_dim: int
+    num_heads: int
+    mlp_ratio: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, d = x.shape
+        h = nn.LayerNorm(name="norm1")(x)
+        qkv = nn.Dense(3 * d, name="qkv")(h)
+        q, k, v = jnp.split(qkv.reshape(b, n, 3, self.num_heads,
+                                        d // self.num_heads), 3, axis=2)
+        q, k, v = (t[:, :, 0].transpose(0, 2, 1, 3) for t in (q, k, v))
+        att = jax.nn.softmax(
+            jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(d // self.num_heads),
+            axis=-1,
+        )
+        out = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
+        x = x + nn.Dense(d, name="proj")(out)
+        h = nn.LayerNorm(name="norm2")(x)
+        h = nn.Dense(self.mlp_ratio * d, name="fc1")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        return x + nn.Dense(d, name="fc2")(h)
+
+
+class VisionTransformer(nn.Module):
+    """MAE-style ViT encoder trunk (patch embed + cls token + learned pos
+    embed + pre-LN blocks + final norm), returning the normed CLS feature.
+    Input [..., H, W, 3] NHWC; H == W == img_size."""
+
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    patch_size: int = 16
+    img_size: int = 224
+
+    @nn.compact
+    def __call__(self, x):
+        b = x.shape[0]
+        x = nn.Conv(
+            self.embed_dim, (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size), padding="VALID",
+            name="patch_embed",
+        )(x)
+        x = x.reshape(b, -1, self.embed_dim)  # [B, N, D]
+        n = x.shape[1]
+        cls = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, self.embed_dim)
+        )
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, n + 1, self.embed_dim),
+        )
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.embed_dim)), x],
+                            axis=1) + pos
+        for i in range(self.depth):
+            x = ViTBlock(
+                embed_dim=self.embed_dim, num_heads=self.num_heads,
+                name=f"block{i}",
+            )(x)
+        x = nn.LayerNorm(name="norm")(x)
+        return x[:, 0]
+
+
+_MVP_VARIANTS = {
+    # model_class -> (embed_dim, depth, heads, img_size, patch_size)
+    "vits-mae-hoi": (384, 12, 6, 224, 16),
+    "vits-mae-in": (384, 12, 6, 224, 16),
+    "vits-sup-in": (384, 12, 6, 224, 16),
+    "vitb-mae-egosoup": (768, 12, 12, 224, 16),
+    "vitl-256-mae-egosoup": (1024, 24, 16, 256, 16),
+}
+
+
 class MVPConv(nn.Module):
-    """Frozen MVP (masked visual pretraining) encoder interface (reference
-    ``base_nets.py:1187``). Same gating policy as R3MConv."""
+    """Frozen MVP (masked visual pretraining) ViT encoder (reference
+    ``base_nets.py:1187-1272``): Resize(224|256) -> ViT trunk -> CLS
+    feature [B, D]. Load converted MAE/timm-layout weights with
+    ``ckpt_conversion.convert_mvp_vit`` into the ``trunk`` collection;
+    ``freeze=True`` (reference default) stops gradients."""
 
     mvp_model_class: str = "vitb-mae-egosoup"
+    freeze: bool = True
 
     @nn.compact
     def __call__(self, x, train=False):
-        raise NotImplementedError(
-            "MVP requires the pretrained torch artifact (pip `mvp`); "
-            "precompute features offline for zero-egress training."
+        dim, depth, heads, img_size, patch = (
+            _MVP_VARIANTS[self.mvp_model_class]
         )
+        *lead, h, w, c = x.shape
+        if (h, w) != (img_size, img_size):
+            # reference preprocess is Resize only (no normalization)
+            x = jax.image.resize(
+                x, (*lead, img_size, img_size, c), method="bilinear"
+            )
+        feats = VisionTransformer(
+            embed_dim=dim, depth=depth, num_heads=heads,
+            img_size=img_size, patch_size=patch, name="trunk",
+        )(x)
+        if self.freeze:
+            feats = jax.lax.stop_gradient(feats)
+        return feats
 
-    @staticmethod
-    def output_shape(input_shape):
-        return [768]
+    def output_shape(self, input_shape=None):
+        return [_MVP_VARIANTS[self.mvp_model_class][0]]
 
 
 def add_coord_channels(x):

@@ -196,6 +196,40 @@ def convert_r3m_trunk(sd, model_class="resnet18"):
     return {"params": {"trunk": params}, "batch_stats": {"trunk": stats}}
 
 
+def convert_mvp_vit(sd, depth=12):
+    """MAE/timm-layout ViT state dict (``patch_embed.proj``, ``cls_token``,
+    ``pos_embed``, ``blocks.N.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,
+    mlp.fc2}``, ``norm``) -> variables for :class:`MVPConv`:
+    ``{"params": {"trunk": ...}}`` (reference ``MVPConv`` wraps
+    ``mvp.load(...)``, base_nets.py:1187-1236)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    # strip an mvp/DDP wrapper prefix if present
+    stripped = {}
+    for k, v in sd.items():
+        for pre in ("module.", "model."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        stripped[k] = v
+    sd = stripped
+    params = {
+        "patch_embed": _conv2d(sd, "patch_embed.proj", bias=True),
+        "cls_token": sd["cls_token"],
+        "pos_embed": sd["pos_embed"],
+        "norm": _ln(sd, "norm"),
+    }
+    for i in range(depth):
+        b = f"blocks.{i}."
+        params[f"block{i}"] = {
+            "norm1": _ln(sd, b + "norm1"),
+            "qkv": _lin(sd, b + "attn.qkv"),
+            "proj": _lin(sd, b + "attn.proj"),
+            "norm2": _ln(sd, b + "norm2"),
+            "fc1": _lin(sd, b + "mlp.fc1"),
+            "fc2": _lin(sd, b + "mlp.fc2"),
+        }
+    return {"params": {"trunk": params}}
+
+
 def flatten_variables(variables, sep="/"):
     """Nested variables tree -> flat {path: ndarray} (npz-writable)."""
     out = {}
