@@ -41,6 +41,7 @@ def load_bin_reference():
 def ensure_torchvision_stub():
     """The reference's base_nets imports torchvision at module scope; only
     the (unused here) ResNet classes touch it, so stub it out."""
+    import importlib.machinery
     import types
 
     for name in (
@@ -50,6 +51,12 @@ def ensure_torchvision_stub():
         if name not in sys.modules:
             mod = types.ModuleType(name)
             mod.__path__ = []
+            # a real ModuleSpec so importlib.util.find_spec (e.g. inside a
+            # later `import transformers`) doesn't choke on the stub
+            mod.__spec__ = importlib.machinery.ModuleSpec(
+                name, loader=None, is_package=True
+            )
+            mod.__version__ = "0.0.0-stub"
             sys.modules[name] = mod
     tvt = sys.modules["torchvision.transforms"]
     if not hasattr(tvt, "Lambda"):

@@ -20,6 +20,7 @@ def make_batch(rng, T):
     }
 
 
+@pytest.mark.slow
 def test_diffusion_policy():
     config = config_factory("diffusion_policy")
     with config.values_unlocked():
@@ -55,6 +56,7 @@ def test_diffusion_policy():
     assert np.all(np.isfinite(ac))
 
 
+@pytest.mark.slow
 def test_act():
     config = config_factory("act")
     with config.values_unlocked():

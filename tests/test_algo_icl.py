@@ -74,6 +74,7 @@ def test_factory_routing():
     assert isinstance(algo2, AlgoReg.ICLTransformerHVQVAE)
 
 
+@pytest.mark.slow
 def test_hvqvae_train_steps_and_state():
     config = tiny_config()
     algo = AlgoReg.algo_factory(
@@ -127,6 +128,7 @@ def test_hvqvae_get_action():
     assert ac.shape == (A,)
 
 
+@pytest.mark.slow
 def test_gmm_paper_path():
     config = tiny_config(gmm=True)
     algo = AlgoReg.algo_factory(

@@ -1,6 +1,7 @@
 """ICL-Mamba smoke tests (Mamba selective-SSM backbone)."""
 
 import numpy as np
+import pytest
 
 from robot_manipulation_vq_vae_tpu.config import config_factory
 from robot_manipulation_vq_vae_tpu.utils import obs_utils as ObsUtils
@@ -56,6 +57,7 @@ def test_icl_mamba_hvqvae():
         assert np.isfinite(algo.log_info(info)["Loss"])
 
 
+@pytest.mark.slow
 def test_icl_mamba_gmm():
     algo = make_algo(gmm=True)
     assert isinstance(algo, AlgoReg.ICLMamba_GMM)

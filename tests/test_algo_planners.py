@@ -99,6 +99,7 @@ def test_hbc():
     assert algo.current_subgoal is not None
 
 
+@pytest.mark.slow
 def test_iris():
     config = config_factory("iris")
     with config.values_unlocked():

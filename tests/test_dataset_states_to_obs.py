@@ -125,6 +125,7 @@ def test_serial_extraction_matches_states(source, tmp_path):
         assert json.loads(f["data"].attrs["env_args"])["env_name"] == "FakeSim"
 
 
+@pytest.mark.slow
 def test_multiprocess_matches_serial(source, tmp_path):
     a1 = parse(["--num_procs", "0", "--camera_names"], source, "serial.hdf5")
     a2 = parse(["--num_procs", "3", "--camera_names"], source, "mp.hdf5")

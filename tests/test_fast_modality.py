@@ -168,6 +168,7 @@ def _fast_algo():
     return algo
 
 
+@pytest.mark.slow
 def test_fast_enabled_trains_end_to_end():
     algo = _fast_algo()
     rng = np.random.RandomState(2)

@@ -102,6 +102,7 @@ def _jax_algo_from_pth(path):
     return policy, ckpt_dict
 
 
+@pytest.mark.slow
 def test_pth_roundtrip_identical_actions(reference_setup, tmp_path):
     """.pth in -> identical actions out (the VERDICT item-6 gate)."""
     ref_algo, config, shapes = reference_setup
@@ -142,6 +143,7 @@ def test_pth_roundtrip_identical_actions(reference_setup, tmp_path):
     np.testing.assert_allclose(jax_ac, ref_ac, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_stray_keys_and_stats_survive(reference_setup, tmp_path):
     ref_algo, config, shapes = reference_setup
     path = make_pth_dict(ref_algo, config, shapes, tmp_path)
@@ -187,6 +189,7 @@ def test_stray_keys_and_stats_survive(reference_setup, tmp_path):
     ] == [32, 32, 3]
 
 
+@pytest.mark.slow
 def test_vqvae_reconstruction_parity(reference_setup, tmp_path):
     """The converted HVQVAE reproduces the reference's context-action
     reconstruction (the quantity fed to the policy at inference,

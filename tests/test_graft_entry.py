@@ -2,8 +2,10 @@
 
 import jax
 import numpy as np
+import pytest
 
 
+@pytest.mark.slow
 def test_entry_compiles():
     import __graft_entry__ as ge
 
@@ -13,6 +15,7 @@ def test_entry_compiles():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
 

@@ -257,6 +257,7 @@ def test_jitted_kmeans_quality():
     assert len(np.unique(np.asarray(assign))) >= 7
 
 
+@pytest.mark.slow
 def test_gradient_topology_parity(torch_model, flax_setup, batch):
     """STE gradient routing: grads of the full VQ-VAE loss w.r.t. encoder
     input-projection and decoder output-projection weights must match torch

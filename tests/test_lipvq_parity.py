@@ -116,6 +116,7 @@ def test_roundtrip_recon_parity(torch_model, flax_setup, batch):
     np.testing.assert_allclose(np.asarray(recon_d), np.asarray(recon_j), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_gradient_topology_parity(torch_model, flax_setup, batch):
     """The reference has NO straight-through on the decoder path: encoder
     gradients flow only through the commitment loss. Verify our gradients

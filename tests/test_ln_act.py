@@ -94,6 +94,7 @@ import pytest
     "B,T,Di,N",
     [(1, 1, 2, 2), (3, 33, 24, 8), (2, 64, 8, 16), (4, 10, 12, 8)],
 )
+@pytest.mark.slow
 def test_selective_scan_matches_naive_shapes(B, T, Di, N):
     """Associative scan == float64 sequential recurrence over a sweep of
     shapes incl. T=1 and non-power-of-two T (scan edge cases)."""
@@ -109,6 +110,7 @@ def test_selective_scan_matches_naive_shapes(B, T, Di, N):
     np.testing.assert_allclose(np.asarray(y), y_ref, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_mamba_block_matches_sequential_stepping():
     """The whole block (in_proj, causal depthwise conv, dt/B/C projections,
     ZOH discretization, scan, gate, out_proj) must equal a step-by-step

@@ -122,3 +122,72 @@ def test_macros_and_setup(capsys):
     finally:
         if not existed and os.path.exists(dst):
             os.remove(dst)
+
+
+def test_real_clip_branch_with_stubbed_transformers(monkeypatch, tmp_path):
+    """The real-CLIP code path (RMVQ_CLIP_DIR set) exercised end to end with
+    stubbed transformers classes: tokenization batching, no_grad encode,
+    text_embeds extraction, single-vs-list shapes (reference
+    lang_utils.py:5-37 uses CLIPTextModelWithProjection the same way)."""
+    import sys
+
+    import torch
+    import transformers
+
+    # transformers' lazy-module machinery swaps sys.modules["transformers"]
+    # when CLIPTextModelWithProjection is first resolved; force both
+    # resolutions *before* patching, then patch the live sys.modules entry
+    # (the one lang_utils' deferred `from transformers import ...` will see).
+    _ = transformers.AutoTokenizer
+    _ = transformers.CLIPTextModelWithProjection
+    transformers = sys.modules["transformers"]
+
+    class StubTokenizer:
+        @classmethod
+        def from_pretrained(cls, model_dir):
+            assert model_dir == str(tmp_path)
+            return cls()
+
+        def __call__(self, texts, return_tensors="pt", padding=True):
+            ids = torch.tensor(
+                [[len(t) % 7, len(t) % 5, 1] for t in texts]
+            )
+            return {"input_ids": ids}
+
+    class StubOutput:
+        def __init__(self, embs):
+            self.text_embeds = embs
+
+    class StubClip:
+        eval_called = False
+
+        @classmethod
+        def from_pretrained(cls, model_dir):
+            assert model_dir == str(tmp_path)
+            return cls()
+
+        def eval(self):
+            StubClip.eval_called = True
+
+        def __call__(self, input_ids):
+            # deterministic embedding from the token ids
+            base = input_ids.float().sum(dim=1, keepdim=True)
+            return StubOutput(base * torch.ones(input_ids.shape[0], 768))
+
+    monkeypatch.setattr(transformers, "AutoTokenizer", StubTokenizer)
+    monkeypatch.setattr(
+        transformers, "CLIPTextModelWithProjection", StubClip
+    )
+    monkeypatch.setenv("RMVQ_CLIP_DIR", str(tmp_path))
+
+    enc = LangEncoder()
+    assert enc.is_real
+    assert StubClip.eval_called
+
+    single = enc.get_lang_emb("pick the mug")
+    assert single.shape == (768,)
+    batch = enc.get_lang_emb(["pick the mug", "close the oven door"])
+    assert batch.shape == (2, 768)
+    np.testing.assert_array_equal(batch[0], single)
+    # different instruction -> different embedding through the stub
+    assert not np.allclose(batch[0], batch[1])

@@ -76,6 +76,7 @@ def make_obs(rng, b, t):
     }
 
 
+@pytest.mark.slow
 def test_observation_encoder_shapes():
     from robot_manipulation_vq_vae_tpu.models.obs_nets import obs_encoder_factory
 
@@ -99,6 +100,7 @@ def test_observation_encoder_shapes():
     assert out2.shape == out.shape
 
 
+@pytest.mark.slow
 def test_transformer_actor_forward():
     model = TransformerActorNetwork(
         obs_shapes=tuple(OBS_SHAPES.items()),
@@ -118,6 +120,7 @@ def test_transformer_actor_forward():
     assert float(jnp.max(jnp.abs(acts))) <= 1.0
 
 
+@pytest.mark.slow
 def test_icl_gmm_actor_with_lipvq():
     model = ICLTransformerGMMActorNetwork(
         obs_shapes=tuple(OBS_SHAPES.items()),

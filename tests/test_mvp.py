@@ -86,6 +86,7 @@ def torch_vit_forward(sd, x_nchw, dim=D, depth=DEPTH, heads=HEADS, patch=P):
     return x[:, 0].numpy()
 
 
+@pytest.mark.slow
 def test_vit_trunk_parity():
     sd = make_vit_sd()
     variables = convert_mvp_vit(sd, depth=DEPTH)
@@ -111,6 +112,7 @@ def test_vit_trunk_parity():
     np.testing.assert_allclose(mine, theirs, atol=2e-5, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_mvp_wrapper_prefix_strip_and_freeze():
     sd = {f"module.{k}": v for k, v in make_vit_sd().items()}
     variables = convert_mvp_vit(sd, depth=DEPTH)

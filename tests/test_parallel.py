@@ -21,6 +21,7 @@ def test_mesh_construction():
     assert mesh.axis_names == ("dp", "mp")
 
 
+@pytest.mark.slow
 def test_sharded_matches_unsharded_lipvq_step():
     """One LipVQ gradient step: replicated-vs-dp-sharded results match."""
     import optax
@@ -63,6 +64,7 @@ def test_sharded_matches_unsharded_lipvq_step():
         )
 
 
+@pytest.mark.slow
 def test_tp_sharding_rules_applied():
     """GPT FFN kernels get mp-sharded; everything else replicated."""
     from robot_manipulation_vq_vae_tpu.models.transformers import GPT_Backbone
@@ -91,6 +93,7 @@ def test_tp_sharding_rules_applied():
     )
 
 
+@pytest.mark.slow
 def test_hvqvae_train_step_sharded_vs_single():
     """Full flagship (ICLTransformerHVQVAE) step: dp-sharded batch produces
     the same losses and parameters as unsharded."""

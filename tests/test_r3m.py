@@ -145,6 +145,7 @@ def test_converted_trunk_parity(trunk_sd):
     )
 
 
+@pytest.mark.slow
 def test_frozen_trunk_zero_grads(trunk_sd):
     variables = convert_r3m_trunk(trunk_sd)
     model = R3MConv()

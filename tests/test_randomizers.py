@@ -56,6 +56,7 @@ def test_crop_shapes_bookkeeping():
     assert r.output_shape_out([64]) == [64]
 
 
+@pytest.mark.slow
 def test_color_randomizer_train_only():
     r = ColorRandomizer(input_shape=(8, 8, 3))
     x = jnp.asarray(np.random.RandomState(1).rand(2, 8, 8, 3), jnp.float32)

@@ -14,6 +14,7 @@ from reference_loader import load_module, load_bin_reference
 F_DIM, L_DIM, K = 12, 16, 32
 
 
+@pytest.mark.slow
 def test_plain_vqvae_parity():
     """Forward parity of the plain VQ-VAE against the reference torch module
     (reference robomimic/models/vq_vae/backbone.py)."""
@@ -106,6 +107,7 @@ def test_bin_tokenizer_parity():
     np.testing.assert_array_equal(idx_j, idx_t)
 
 
+@pytest.mark.slow
 def test_lfqvae_and_lstm_forward():
     from robot_manipulation_vq_vae_tpu.models.tokenizers import LFQVAE, LSTMVQVAE
 
@@ -150,6 +152,7 @@ def test_ema_kmeans_quantizer():
     assert z_q.shape == z.shape
 
 
+@pytest.mark.slow
 def test_hierarchical_lfq():
     from robot_manipulation_vq_vae_tpu.models.tokenizers import (
         HierarchicalLFQHVQVAE,

@@ -184,6 +184,7 @@ def test_policy_from_checkpoint(trained_ckpt):
     assert np.all(np.isfinite(ac))
 
 
+@pytest.mark.slow
 def test_orbax_checkpoint_roundtrip(trained_ckpt, tmp_path):
     """Orbax-directory checkpoint format: save/load parity with the pickle
     format, including policy_from_checkpoint."""
@@ -262,6 +263,7 @@ def test_eval_ckpt_generators(trained_ckpt, tmp_path):
     assert fix_checkpoint(trained_ckpt) == trained_ckpt
 
 
+@pytest.mark.slow
 def test_train_multi_dataset(tmp_path):
     """Two weighted datasets -> MetaDataset + weighted sampler + batched
     loader fast path through the real train CLI (the flagship's multi-task
@@ -353,6 +355,7 @@ def test_optimizer_state_resume(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_auto_resume(tmp_path):
     """--auto_resume finds the newest checkpoint of the experiment and
     continues from its epoch."""

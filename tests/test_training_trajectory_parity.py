@@ -49,6 +49,7 @@ def assert_mostly_close(actual, desired, atol, frac, max_abs, msg=""):
     )
 
 
+@pytest.mark.slow
 def test_lipvq_adam_trajectory_parity():
     """50 Adam steps on fixed data: loss trajectory and final params of the
     optax run must track the reference torch run."""
