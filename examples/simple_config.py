@@ -1,35 +1,57 @@
-"""Instructive example: the three ways to build a config (reference
-``robomimic/examples/simple_config.py``) — factory defaults, external JSON
-override, and programmatic unlocked edits."""
+"""
+An example for creating and using the locking Config object.
 
-import json
+Mirrors the reference example (``/root/reference/robomimic/examples/
+simple_config.py``): build a config, lock it, show that locked configs
+reject new keys, mutate values inside ``values_unlocked``, add keys
+inside ``unlocked``, and update from an external dict.
+"""
 
-from robot_manipulation_vq_vae_tpu.config import config_factory
+import os
+import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def main():
-    # 1) factory defaults for an algorithm
-    config = config_factory("bc")
-    print("default bc batch size:", config.train.batch_size)
-
-    # 2) override from an external JSON (unknown keys raise)
-    ext = {"train": {"batch_size": 16}, "algo": {"gmm": {"enabled": True}}}
-    config = config_factory("bc", dic=json.loads(json.dumps(
-        {"algo_name": "bc", **ext}
-    )))
-    print("json-overridden batch size:", config.train.batch_size)
-
-    # 3) programmatic edits require unlocking; typos raise afterwards
-    # (a dic-built config carries only the external keys, as the reference's
-    # config_factory does)
-    with config.values_unlocked():
-        config.train.batch_size = 32
-    config.lock()
-    try:
-        config.train.batchsize = 1  # typo -> error
-    except RuntimeError as e:
-        print("locked config caught the typo:", e)
-
+from robot_manipulation_vq_vae_tpu.config.config import Config
 
 if __name__ == "__main__":
-    main()
+
+    # create config
+    config = Config()
+
+    config.train.batch_size = 100
+    config.train.learning_rate = 1e-3
+    config.algo.actor_network_size = [1000, 1000]
+    config.lock()  # prevent accidental changes
+
+    # access config
+    print("batch_size={}".format(config.train.batch_size))
+
+    # the config is locked --- cannot add new keys or modify existing keys
+    try:
+        config.train.optimizer = "Adam"
+    except RuntimeError as e:
+        print(e)
+
+    # values_unlocked scope allows modifying values of existing keys,
+    # but not adding keys
+    with config.values_unlocked():
+        config.train.batch_size = 200
+    print("batch_size={}".format(config.train.batch_size))
+
+    # allow adding new keys to the config
+    with config.unlocked():
+        config.test.num_eval = 10
+
+    assert config.is_locked
+    assert config.test.is_locked
+
+    # read external config from a dict
+    ext_config = {
+        "train": {"learning_rate": 1e-3},
+        "algo": {"actor_network_size": [1000, 1000]},
+    }
+    with config.values_unlocked():
+        config.update(ext_config)
+
+    print(config)

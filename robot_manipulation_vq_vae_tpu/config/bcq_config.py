@@ -53,8 +53,10 @@ class BCQConfig(BaseConfig):
         # action sampler: a BC-VAE config block (reference bcq_config.py:66-78)
         self.algo.action_sampler = BCConfig().algo
         self.algo.action_sampler.vae.enabled = True
-        for k in ("optim_params", "loss", "gaussian", "rnn", "transformer",
-                  "gmm", "actor_layer_dims", "language_conditioned"):
+        # remove unused parts of the BC algo config; gmm + actor_layer_dims
+        # stay (reference bcq_config.py:70-75 keeps them; the paper configs
+        # set action_sampler.gmm.enabled)
+        for k in ("optim_params", "loss", "gaussian", "rnn", "transformer"):
             if k in self.algo.action_sampler:
                 del self.algo.action_sampler[k]
         with self.algo.action_sampler.unlocked():

@@ -107,24 +107,41 @@ class Config(dict):
 
     @contextlib.contextmanager
     def unlocked(self):
-        """Temporarily allow both key and value updates."""
-        state = self._lock_state()
+        """Temporarily allow both key and value updates.
+
+        On exit the *top-level* lock state is re-applied recursively (via
+        ``lock()`` / ``lock_keys()``), so sub-configs added inside the scope
+        end up locked too - reference semantics (``config.py:114-124``, which
+        saves only the root state and re-locks recursively)."""
+        was_locked, was_key_locked = self.is_locked, self.is_key_locked
         self.unlock()
         try:
             yield self
         finally:
-            self._restore_lock_state(state)
+            if was_locked:
+                self.lock()
+            if was_key_locked:
+                self.lock_keys()
 
     @contextlib.contextmanager
     def values_unlocked(self):
         """Temporarily allow value updates only (no new keys)."""
-        state = self._lock_state()
+        was_locked, was_key_locked = self.is_locked, self.is_key_locked
         self.unlock()
         self.lock_keys()
         try:
             yield self
         finally:
-            self._restore_lock_state(state)
+            if was_locked:
+                self.lock()
+            if was_key_locked:
+                self.lock_keys()
+            elif not was_locked:
+                # the reference leaves keys locked here (its _set_lock_state
+                # only ever locks, config.py:99-112); we restore instead so a
+                # fully-unlocked config round-trips - divergence is unreachable
+                # from the training path, where configs are always locked
+                self.unlock_keys()
 
     # ------------------------------------------------------------- dict hooks
     def __setitem__(self, key, value):

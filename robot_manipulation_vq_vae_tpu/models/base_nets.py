@@ -238,6 +238,37 @@ class ResNet18ConvFiLM(nn.Module):
         return [int(math.ceil(h / 32.0)), int(math.ceil(w / 32.0)), 512]
 
 
+class ShallowConv(nn.Module):
+    """Shallow convolutional encoder from the DSAE paper
+    (https://rll.berkeley.edu/dsae/dsae.pdf), reference ``ShallowConv``
+    (base_nets.py:1376-1411). Input [..., H, W, C]; output
+    [H/2, W/2, output_channel] (NHWC, unlike the reference's CHW)."""
+
+    input_channel: int = 3
+    output_channel: int = 32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        assert x.shape[-1] == self.input_channel
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)))(x)
+        x = nn.relu(x)
+        x = nn.Conv(32, (1, 1), strides=(1, 1), padding="VALID")(x)
+        x = nn.relu(x)
+        x = nn.Conv(32, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))(x)
+        x = nn.relu(x)
+        x = nn.Conv(
+            self.output_channel, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1))
+        )(x)
+        return x
+
+    def output_shape(self, input_shape):
+        assert len(input_shape) == 3
+        assert input_shape[-1] == self.input_channel
+        out_h = int(math.floor(input_shape[0] / 2.0))
+        out_w = int(math.floor(input_shape[1] / 2.0))
+        return [out_h, out_w, self.output_channel]
+
+
 class ResNet34Conv(nn.Module):
     """ResNet-34 trunk (reference ``ResNet34ConvFiLM`` family,
     base_nets.py:748)."""

@@ -26,6 +26,7 @@ _POOL_CLASSES = {
 }
 
 _BACKBONE_CLASSES = {
+    "ShallowConv": BaseNets.ShallowConv,
     "ResNet18Conv": BaseNets.ResNet18Conv,
     "ResNet18ConvFiLM": BaseNets.ResNet18ConvFiLM,
     "ResNet34Conv": BaseNets.ResNet34Conv,

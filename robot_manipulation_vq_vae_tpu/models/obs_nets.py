@@ -101,7 +101,15 @@ def _core_output_shape(core_class, core_kwargs, input_shape):
             return [fd]
         backbone = core_kwargs.get("backbone_class", "ResNet18Conv")
         bcls = ObsCore._BACKBONE_CLASSES.get(backbone, BaseNets.ResNet18Conv)
-        feat = bcls.output_shape(input_shape)
+        try:
+            feat = bcls.output_shape(input_shape)  # staticmethod backbones
+        except TypeError:
+            # instance-method backbones (ShallowConv, R3MConv, MVPConv):
+            # construct cheaply (parent=None suppresses flax parent capture)
+            bkw = ObsCore._filter_kwargs(
+                bcls, dict(core_kwargs.get("backbone_kwargs") or {})
+            )
+            feat = bcls(**bkw, parent=None).output_shape(input_shape)
         pool_class = core_kwargs.get("pool_class", "SpatialSoftmax")
         if pool_class == "SpatialSoftmax":
             num_kp = (core_kwargs.get("pool_kwargs") or {}).get("num_kp", 32)
@@ -125,6 +133,20 @@ def _core_output_shape(core_class, core_kwargs, input_shape):
         if core_kwargs.get("flatten", True):
             return [int(length * chans[-1])]
         return [length, chans[-1]]
+    # custom registered cores (reference extension API, examples/
+    # add_new_modality.py): construct the module (cheap - flax dataclass)
+    # and ask it for its output shape
+    if core_class in ObsUtils.OBS_ENCODER_CORES:
+        cls = ObsUtils.OBS_ENCODER_CORES[core_class]
+        kwargs = {
+            k: v
+            for k, v in core_kwargs.items()
+            if k in {f.name for f in cls.__dataclass_fields__.values()}
+        }
+        kwargs["input_shape"] = tuple(input_shape)
+        # parent=None: suppress flax's implicit parent capture, since this
+        # may run inside another module's method (ObservationEncoder.output_shape)
+        return list(cls(**kwargs, parent=None).output_shape(input_shape))
     raise ValueError(f"unknown core class {core_class}")
 
 

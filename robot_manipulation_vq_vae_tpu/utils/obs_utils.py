@@ -151,17 +151,44 @@ def unprocess_frame(frame, channel_dim, scale):
 
 class Modality:
     """Base modality: subclasses define process/unprocess (reference
-    obs_utils.py:743-1001)."""
+    obs_utils.py:743-1001). Custom processors can be injected at runtime
+    via ``set_obs_processor`` / ``set_obs_unprocessor`` (the reference's
+    extension API, obs_utils.py:766-800), overriding the class defaults."""
 
     name = None
+    # runtime-injected overrides (None -> use the class default)
+    _custom_obs_processor = None
+    _custom_obs_unprocessor = None
 
     @classmethod
-    def process_obs(cls, obs):
+    def set_obs_processor(cls, processor=None):
+        """Override how raw observations of this modality are processed.
+        Pass None to restore the class default."""
+        cls._custom_obs_processor = processor
+
+    @classmethod
+    def set_obs_unprocessor(cls, unprocessor=None):
+        cls._custom_obs_unprocessor = unprocessor
+
+    @classmethod
+    def _default_obs_processor(cls, obs):
         return np.asarray(obs, dtype=np.float32)
 
     @classmethod
-    def unprocess_obs(cls, obs):
+    def _default_obs_unprocessor(cls, obs):
         return obs
+
+    @classmethod
+    def process_obs(cls, obs):
+        if cls._custom_obs_processor is not None:
+            return cls._custom_obs_processor(obs)
+        return cls._default_obs_processor(obs)
+
+    @classmethod
+    def unprocess_obs(cls, obs):
+        if cls._custom_obs_unprocessor is not None:
+            return cls._custom_obs_unprocessor(obs)
+        return cls._default_obs_unprocessor(obs)
 
 
 @register_obs_key
@@ -169,11 +196,11 @@ class ImageModality(Modality):
     name = "rgb"
 
     @classmethod
-    def process_obs(cls, obs):
+    def _default_obs_processor(cls, obs):
         return process_frame(obs, channel_dim=3, scale=255.0)
 
     @classmethod
-    def unprocess_obs(cls, obs):
+    def _default_obs_unprocessor(cls, obs):
         return unprocess_frame(obs, channel_dim=3, scale=255.0)
 
 
@@ -182,11 +209,11 @@ class DepthModality(Modality):
     name = "depth"
 
     @classmethod
-    def process_obs(cls, obs):
+    def _default_obs_processor(cls, obs):
         return process_frame(obs, channel_dim=1, scale=1.0)
 
     @classmethod
-    def unprocess_obs(cls, obs):
+    def _default_obs_unprocessor(cls, obs):
         return unprocess_frame(obs, channel_dim=1, scale=1.0)
 
 

@@ -125,3 +125,40 @@ def test_crop_parity_vs_reference():
         random_crop_hwc(jax.random.PRNGKey(0), jnp.asarray(x_hwc), th, tw, 2)
     )
     assert crops.shape == (Bc, 2, th, tw, Cc)
+
+
+def test_shallow_conv_parity(ref_base_nets):
+    """ShallowConv (DSAE encoder, reference base_nets.py:1376-1411):
+    transplanted torch weights -> identical NHWC activations."""
+    from robot_manipulation_vq_vae_tpu.models.base_nets import ShallowConv
+
+    torch.manual_seed(0)
+    ref = ref_base_nets.ShallowConv(input_channel=3, output_channel=32)
+    ref.eval()
+
+    ours = ShallowConv(input_channel=3, output_channel=32)
+    rng = np.random.RandomState(2)
+    x_nhwc = rng.randn(2, 16, 16, 3).astype(np.float32)
+    variables = ours.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(x_nhwc)
+    )
+
+    # transplant the 4 convs: torch [O, I, kh, kw] -> flax [kh, kw, I, O]
+    params = {}
+    conv_layers = [m for m in ref.nets if isinstance(m, torch.nn.Conv2d)]
+    for i, conv in enumerate(conv_layers):
+        w = conv.weight.detach().numpy()
+        params[f"Conv_{i}"] = {
+            "kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),
+            "bias": jnp.asarray(conv.bias.detach().numpy()),
+        }
+
+    with torch.no_grad():
+        theirs = ref(
+            torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)))
+        ).numpy()  # [B, 32, 8, 8]
+    mine = np.asarray(ours.apply({"params": params}, jnp.asarray(x_nhwc)))
+    np.testing.assert_allclose(
+        np.transpose(mine, (0, 3, 1, 2)), theirs, atol=1e-5
+    )
+    assert ours.output_shape((16, 16, 3)) == [8, 8, 32]
