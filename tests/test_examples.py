@@ -63,3 +63,20 @@ def test_train_bc_rnn_example():
     out = run_example("train_bc_rnn.py", "--debug")
     assert "Epoch 2: Loss" in out
     assert "save checkpoint to" in out
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["datasets", "run_policy"])
+def test_notebooks_execute(name, tmp_path):
+    """The examples/notebooks/ walkthroughs execute cleanly (reference ships
+    examples/notebooks/{datasets,run_policy}.ipynb)."""
+    pytest.importorskip("nbconvert")
+    nb_path = os.path.join(EXAMPLES_DIR, "notebooks", f"{name}.ipynb")
+    env = dict(os.environ)
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    result = subprocess.run(
+        [sys.executable, "-m", "jupyter", "nbconvert", "--to", "notebook",
+         "--execute", nb_path, "--output", str(tmp_path / "out.ipynb")],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
