@@ -176,6 +176,10 @@ def main():
             result["flagship_samples_per_sec"] = flagship["samples_per_sec"]
             result["flagship_compile_sec"] = flagship["compile_sec"]
             result["flagship_mixed_precision"] = flagship["mixed_precision"]
+            if "tflops_per_sec" in flagship:
+                # achieved TFLOP/s from XLA's own FLOP count of the compiled
+                # step (v5e bf16 peak is ~197 TFLOP/s/chip)
+                result["flagship_tflops_per_sec"] = flagship["tflops_per_sec"]
         except Exception as e:  # never lose the north-star number
             result["flagship_error"] = f"{type(e).__name__}: {e}"[:300]
     print(json.dumps(result))

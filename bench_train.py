@@ -108,6 +108,24 @@ def measure(mixed_precision=False, batch_size=64, n_long=11):
     float(info["losses"]["action_loss"])
     compile_time = time.perf_counter() - t0
 
+    # XLA's own FLOP count for the whole compiled step (fwd+bwd+update),
+    # used to derive achieved TFLOP/s from the measured step time. The
+    # program was just compiled by the train_on_batch call above, so this
+    # re-lower + compile hits the compilation cache (~0s).
+    step_flops = None
+    try:
+        cost = (
+            algo._train_step_jit.lower(algo.state, batch, False)
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        if cost:
+            step_flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     # timed steps chain on the algo state (each step consumes the previous
     # state); sync cost is amortized by differencing two chain lengths
     def chain(n):
@@ -122,7 +140,7 @@ def measure(mixed_precision=False, batch_size=64, n_long=11):
     t_long = chain(n_long)
     per_step = max((t_long - t_short) / (n_long - n_short), 1e-9)
     steps_per_sec = 1.0 / per_step
-    return {
+    result = {
         "metric": "icl_hvqvae_train_step_throughput",
         "value": round(steps_per_sec, 3),
         "unit": f"steps/sec (batch {B}, 3x128x128 cams)",
@@ -130,6 +148,9 @@ def measure(mixed_precision=False, batch_size=64, n_long=11):
         "compile_sec": round(compile_time, 1),
         "mixed_precision": bool(mixed_precision),
     }
+    if step_flops:
+        result["tflops_per_sec"] = round(step_flops * steps_per_sec / 1e12, 1)
+    return result
 
 
 def main(mixed_precision=False, batch_size=64):

@@ -442,6 +442,11 @@ class ValuePlanner(PlannerAlgo, ValueAlgo):
         self.goal_shapes = self.planner.goal_shapes
         self.num_samples = algo_config.num_samples
 
+    def __repr__(self):
+        return "{} (\n  planner: {!r}\n  value_net: {!r}\n)".format(
+            self.__class__.__name__, self.planner, self.value_net
+        )
+
     def process_batch_for_training(self, batch):
         return {
             "planner": self.planner.process_batch_for_training(batch),

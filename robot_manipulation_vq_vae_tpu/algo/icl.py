@@ -411,7 +411,10 @@ class ICLGMM(ICLGaussian):
 
 
 class ICLRNN(ICL):
-    """RNN ICL (reference icl.py:559)."""
+    """RNN ICL (reference icl.py:559). Rollout inference is stepwise: a
+    persistent RNN hidden state is carried across ``get_action`` calls and
+    re-initialized every ``rnn.horizon`` steps (reference bc.py:506-580,
+    same semantics for the BC_RNN subclasses)."""
 
     def _create_networks(self):
         self.nets["policy"] = PolicyNets.RNNActorNetwork(
@@ -424,33 +427,93 @@ class ICLRNN(ICL):
             rnn_type=self.algo_config.rnn.rnn_type,
             encoder_kwargs=_encoder_kwargs(self.obs_config),
         )
+        self._setup_rnn_rollout()
+
+    def _setup_rnn_rollout(self):
+        self._rnn_hidden_state = None
+        self._rnn_horizon = self.algo_config.rnn.horizon
+        self._rnn_counter = 0
+        self._rnn_is_open_loop = self.algo_config.rnn.get("open_loop", False)
+        self._open_loop_obs = None
 
     def process_batch_for_training(self, batch):
+        obs = {k: np.asarray(v) for k, v in batch["obs"].items()}
+        if self._rnn_is_open_loop:
+            # predict the whole sequence open-loop from the first obs
+            # (reference bc.py:531-537)
+            n_steps = np.asarray(batch["actions"]).shape[1]
+            obs = {
+                k: np.repeat(v[:, :1], n_steps, axis=1)
+                for k, v in obs.items()
+            }
         return {
-            "obs": {k: np.asarray(v) for k, v in batch["obs"].items()},
+            "obs": obs,
             "goal_obs": batch.get("goal_obs", None),
             "actions": np.asarray(batch["actions"]),
         }
 
+    def reset(self):
+        """Reset per-episode rollout state (reference bc.py:576-580)."""
+        self._rnn_hidden_state = None
+        self._rnn_counter = 0
+        self._open_loop_obs = None
 
-class ICLRNN_GMM(ICLRNN):
-    """RNN-GMM ICL (reference icl.py:664)."""
+    def _rnn_step(self, obs_dict, goal_dict, sample_key=None):
+        """One closed-loop RNN step: [B, D] obs -> [B, 1, D] -> action at
+        t=0, carrying the hidden state across calls."""
+        policy = self.nets["policy"]
+        if (
+            self._rnn_hidden_state is None
+            or self._rnn_counter % self._rnn_horizon == 0
+        ):
+            self._rnn_hidden_state = None  # fresh zero carry inside the net
+            if self._rnn_is_open_loop:
+                self._open_loop_obs = {
+                    k: np.array(v) for k, v in obs_dict.items()
+                }
+        if self._rnn_is_open_loop:
+            obs_dict = self._open_loop_obs
+        self._rnn_counter += 1
+
+        def infer(params, aux, obs, goal, key, state):
+            obs = device_process_obs(obs)
+            obs = {k: v[:, None] for k, v in obs.items()}  # add T=1
+            if goal is not None:
+                goal = device_process_obs(goal)
+            out = policy.apply(
+                {"params": params, **aux}, obs, goal_dict=goal,
+                train=False, initial_state=state, return_state=True,
+            )
+            acts, new_state = out
+            if key is not None:
+                acts = acts.sample(key)
+            return acts[:, 0], new_state
+
+        name = "get_action_step" + ("_init" if self._rnn_hidden_state is None
+                                    else "")
+        ac, self._rnn_hidden_state = self._cached_jit(name, infer)(
+            self.state.params["policy"], self.state.aux["policy"],
+            {k: jnp.asarray(v) for k, v in obs_dict.items()},
+            None if goal_dict is None else {
+                k: jnp.asarray(v) for k, v in goal_dict.items()
+            },
+            sample_key, self._rnn_hidden_state,
+        )
+        return ac
 
     def get_action(self, obs_dict, goal_dict=None):
-        policy = self.nets["policy"]
+        assert self.state is not None
+        return self._rnn_step(obs_dict, goal_dict)
 
-        def infer(params, aux, obs, key):
-            dist = policy.apply(
-                {"params": params, **aux}, device_process_obs(obs),
-                train=False,
-            )
-            return dist.sample(key)[:, -1]
 
+class ICLRNN_GMM(ICLRNN):
+    """RNN-GMM ICL (reference icl.py:664). Stepwise rollout inference with
+    a carried RNN hidden state, sampling the per-step GMM."""
+
+    def get_action(self, obs_dict, goal_dict=None):
+        assert self.state is not None
         self._init_rng, key = jax.random.split(self._init_rng)
-        return self._cached_jit("get_action", infer)(
-            self.state.params["policy"], self.state.aux["policy"],
-            {k: jnp.asarray(v) for k, v in obs_dict.items()}, key,
-        )
+        return self._rnn_step(obs_dict, goal_dict, sample_key=key)
 
     def _create_networks(self):
         self.nets["policy"] = PolicyNets.RNNGMMActorNetwork(
@@ -466,6 +529,7 @@ class ICLRNN_GMM(ICLRNN):
             low_noise_eval=self.algo_config.gmm.low_noise_eval,
             encoder_kwargs=_encoder_kwargs(self.obs_config),
         )
+        self._setup_rnn_rollout()
 
     def _build_train_step(self):
         policy = self.nets["policy"]

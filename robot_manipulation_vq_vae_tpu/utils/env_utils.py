@@ -2,9 +2,25 @@
 
 from robot_manipulation_vq_vae_tpu.envs.env_base import EnvType
 
+# custom env-type registry: maps an env type id (int) -> EnvBase subclass.
+# The reference's extension story is "add a constant to EnvType and a branch
+# to get_env_class"; here external code registers without editing the
+# framework (used by tests to run real rollouts sim-free, and by users
+# embedding their own simulators).
+CUSTOM_ENV_CLASSES = {}
+
+
+def register_env_class(env_type, env_class):
+    """Register an EnvBase subclass for @env_type (an int not colliding with
+    EnvType.ROBOSUITE_TYPE/GYM_TYPE)."""
+    CUSTOM_ENV_CLASSES[env_type] = env_class
+    return env_class
+
 
 def get_env_class(env_meta=None, env_type=None, env=None):
     env_type = get_env_type(env_meta=env_meta, env_type=env_type, env=env)
+    if env_type in CUSTOM_ENV_CLASSES:
+        return CUSTOM_ENV_CLASSES[env_type]
     if env_type == EnvType.ROBOSUITE_TYPE:
         from robot_manipulation_vq_vae_tpu.envs.env_robosuite import EnvRobosuite
 
@@ -69,15 +85,11 @@ def create_env_from_metadata(env_meta, env_name=None, render=False,
 
 
 def wrap_env_from_config(env, config):
-    """Apply config-specified wrappers (frame stacking for transformer
-    policies; reference env_utils.py:260-290)."""
+    """Apply config-specified wrappers (reference env_utils.py:296-305:
+    frame-stack whenever ``train.frame_stack > 1`` - transformer/diffusion
+    configs set it to their context/observation horizon)."""
     from robot_manipulation_vq_vae_tpu.envs.wrappers import FrameStackWrapper
 
-    if (
-        "transformer" in config.algo
-        and config.algo.transformer.get("enabled", False)
-    ):
-        env = FrameStackWrapper(
-            env, num_frames=config.algo.transformer.context_length
-        )
+    if config.train.frame_stack > 1:
+        env = FrameStackWrapper(env, num_frames=config.train.frame_stack)
     return env

@@ -422,6 +422,10 @@ def should_save_from_rollout_logs(all_rollout_logs, best_return,
     (reference :1112-1185)."""
     should_save = False
     for env_name, rollout_logs in all_rollout_logs.items():
+        if "Return" not in rollout_logs:
+            # every episode for this env errored (rollout_with_stats'
+            # fallback entry) - nothing to rank
+            continue
         if rollout_logs["Return"] > best_return[env_name]:
             best_return[env_name] = rollout_logs["Return"]
             if save_on_best_rollout_return:

@@ -108,9 +108,18 @@ def test_bc_variant(variant):
         log = algo.log_info(info)
         assert np.isfinite(log["Loss"]), (variant, log)
 
-    if isinstance(algo, (AlgoReg.ICLTransformer, AlgoReg.ICLRNN)):
+    if isinstance(algo, AlgoReg.ICLTransformer):
         obs = {k: rng.randn(1, H, *s).astype(np.float32) for k, s in OBS_KEYS.items()}
     else:
+        # RNN policies step one obs at a time, carrying hidden state
+        # (reference bc.py:543-574)
         obs = {k: rng.randn(1, *s).astype(np.float32) for k, s in OBS_KEYS.items()}
     ac = np.asarray(algo.get_action(obs))
     assert np.all(np.isfinite(ac))
+    if isinstance(algo, AlgoReg.ICLRNN):
+        # second step reuses the carried rnn state; reset clears it
+        assert algo._rnn_hidden_state is not None
+        ac2 = np.asarray(algo.get_action(obs))
+        assert np.all(np.isfinite(ac2))
+        algo.reset()
+        assert algo._rnn_hidden_state is None and algo._rnn_counter == 0
