@@ -92,7 +92,8 @@ def test_hbc():
         log = algo.log_info(info)
         assert np.isfinite(log["Loss"])
     # rollout: subgoal refresh + goal-conditioned action
-    obs = {k: rng.randn(1, SH, *s).astype(np.float32) for k, s in OBS_KEYS.items()}
+    # single-step rollout obs: the RNN actor steps with carried hidden state
+    obs = {k: rng.randn(1, *s).astype(np.float32) for k, s in OBS_KEYS.items()}
     algo.reset()
     ac = np.asarray(algo.get_action(obs))
     assert ac.shape[-1] == A
@@ -132,7 +133,8 @@ def test_iris():
     info = algo.train_on_batch(batch, epoch=1)
     log = algo.log_info(info)
     assert np.isfinite(log["Loss"])
-    obs = {k: rng.randn(1, SH, *s).astype(np.float32) for k, s in OBS_KEYS.items()}
+    # single-step rollout obs: the RNN actor steps with carried hidden state
+    obs = {k: rng.randn(1, *s).astype(np.float32) for k, s in OBS_KEYS.items()}
     algo.reset()
     ac = np.asarray(algo.get_action(obs))
     assert ac.shape[-1] == A
