@@ -231,3 +231,102 @@ def test_hvqvae_adam_trajectory_parity():
             leaf_j, leaf_t, atol=1e-2, frac=0.95, max_abs=0.05,
             msg=f"param {kp_j} after {n_steps} Adam steps",
         )
+
+
+@pytest.mark.slow
+def test_gpt_adamw_trajectory_parity():
+    """30 AdamW steps on the GPT backbone (the policy's trunk, where the
+    action-loss gradients flow): optax.adamw must track torch.optim.AdamW
+    on identical data from transplanted-identical init (reference policy
+    optimizer: torch_utils.py:90-121 adamw w/ L2 as weight_decay)."""
+    from test_transformer_parity import ref_transformers as _rt_fixture  # noqa: F401
+    import test_transformer_parity as ttp
+    from robot_manipulation_vq_vae_tpu.models.transformers import GPT_Backbone
+    from robot_manipulation_vq_vae_tpu.utils.ckpt_conversion import (
+        convert_gpt_backbone,
+    )
+
+    # materialize the reference module (fixture body, without pytest wiring)
+    ref_mod = ttp.ref_transformers.__wrapped__()
+
+    EMBED, HEADS, LAYERS_N, T, B = 32, 4, 2, 6, 8
+    LR, WD, N_STEPS = 1e-3, 1e-4, 30
+
+    torch.manual_seed(0)
+    tm = ref_mod.GPT_Backbone(
+        embed_dim=EMBED, context_length=T, causal=False,
+        attn_dropout=0.0, block_output_dropout=0.0,
+        num_layers=LAYERS_N, num_heads=HEADS,
+    )
+    tm.eval()  # deterministic forward: dropout off on both sides
+    jm = GPT_Backbone(
+        embed_dim=EMBED, context_length=T, causal=False,
+        attn_dropout=0.0, block_output_dropout=0.0,
+        num_layers=LAYERS_N, num_heads=HEADS,
+    )
+    # .copy(): torch's AdamW mutates tensors in place, and on CPU
+    # jnp.asarray may zero-copy the shared numpy views - without the copy
+    # the "initial" jax params would silently track the torch training
+    sd = {k: v.detach().numpy().copy() for k, v in tm.state_dict().items()}
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.array(a, copy=True),
+        convert_gpt_backbone(sd, prefix="", num_layers=LAYERS_N),
+    )
+
+    rng = np.random.RandomState(3)
+    xs = rng.randn(N_STEPS, B, T, EMBED).astype(np.float32)
+    ys = rng.randn(N_STEPS, B, T, EMBED).astype(np.float32)
+
+    # ---- torch trajectory ----
+    opt_t = torch.optim.AdamW(tm.parameters(), lr=LR, weight_decay=WD)
+    losses_t = []
+    for i in range(N_STEPS):
+        opt_t.zero_grad()
+        out = tm(torch.from_numpy(xs[i]))
+        loss = ((out - torch.from_numpy(ys[i])) ** 2).mean()
+        loss.backward()
+        opt_t.step()
+        losses_t.append(float(loss))
+
+    # ---- optax trajectory ----
+    tx = optax.adamw(LR, weight_decay=WD)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            out = jm.apply({"params": p}, x)
+            return jnp.mean((out - y) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses_j = []
+    for i in range(N_STEPS):
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(xs[i]), jnp.asarray(ys[i])
+        )
+        losses_j.append(float(loss))
+
+    np.testing.assert_allclose(
+        losses_j, losses_t, rtol=2e-3, atol=2e-5,
+        err_msg="optax AdamW loss trajectory diverged from torch AdamW",
+    )
+    # final params: transplant torch back and compare a couple of leaves
+    sd_after = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params_t_after = convert_gpt_backbone(
+        sd_after, prefix="", num_layers=LAYERS_N
+    )
+    flat_j = jax.tree_util.tree_leaves_with_path(params)
+    flat_t = dict(jax.tree_util.tree_leaves_with_path(
+        jax.tree_util.tree_map(jnp.asarray, params_t_after)
+    ))
+    checked = 0
+    for kp, leaf in flat_j:
+        assert_mostly_close(
+            leaf, flat_t[kp], atol=5e-4, frac=0.995, max_abs=LR * N_STEPS,
+            msg=f"param {kp} after {N_STEPS} AdamW steps",
+        )
+        checked += 1
+    assert checked > 10
