@@ -20,7 +20,8 @@ _lib = None
 
 def _build():
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _LIB,
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+        _SRC, "-o", _LIB,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
 
@@ -43,6 +44,11 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64,
+        ]
+        lib.gather_windows_at_mt.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
         ]
         lib.gather_windows_multi.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -104,10 +110,25 @@ def gather_windows_at(src, out, dst_idx, starts, window):
         row_bytes = (
             int(np.prod(src.shape[1:], dtype=np.int64)) * src.itemsize
         )
-        lib.gather_windows_at(
-            src.ctypes.data, out.ctypes.data, dst_idx.ctypes.data,
-            starts.ctypes.data, n, window, t_len, row_bytes,
-        )
+        # single-core memcpy saturates around ~1200 flagship samples/s;
+        # thread the copy for big (image) gathers. RMVQ_GATHER_THREADS=1
+        # disables (e.g. when the caller oversubscribes CPUs already).
+        total_bytes = n * window * row_bytes
+        n_threads = 1
+        if total_bytes >= (8 << 20):
+            n_threads = int(os.environ.get(
+                "RMVQ_GATHER_THREADS", min(8, os.cpu_count() or 1)
+            ))
+        if n_threads > 1:
+            lib.gather_windows_at_mt(
+                src.ctypes.data, out.ctypes.data, dst_idx.ctypes.data,
+                starts.ctypes.data, n, window, t_len, row_bytes, n_threads,
+            )
+        else:
+            lib.gather_windows_at(
+                src.ctypes.data, out.ctypes.data, dst_idx.ctypes.data,
+                starts.ctypes.data, n, window, t_len, row_bytes,
+            )
         return out
     idx = np.clip(starts[:, None] + np.arange(window)[None, :], 0, t_len - 1)
     out[dst_idx] = src[idx]

@@ -13,10 +13,13 @@
 // [start[n], start[n] + W) clamped to [0, T), with out-of-range rows
 // replaced by the edge row (pad_same semantics).
 //
-// Build: g++ -O3 -march=native -shared -fPIC window_gather.cpp -o libwindow_gather.so
+// Build: g++ -O3 -march=native -shared -fPIC -pthread window_gather.cpp -o libwindow_gather.so
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -42,11 +45,11 @@ void gather_windows(const uint8_t* src, uint8_t* out,
 // Scatter variant: like gather_windows, but each sample i writes to row
 // dst_idx[i] of out - lets one preallocated batch buffer be filled by
 // several per-demo calls with no intermediate copy.
-void gather_windows_at(const uint8_t* src, uint8_t* out,
-                       const int64_t* dst_idx, const int64_t* starts,
-                       int64_t n, int64_t window, int64_t t_len,
-                       int64_t row_bytes) {
-  for (int64_t i = 0; i < n; ++i) {
+static void gather_at_range(const uint8_t* src, uint8_t* out,
+                            const int64_t* dst_idx, const int64_t* starts,
+                            int64_t lo, int64_t hi, int64_t window,
+                            int64_t t_len, int64_t row_bytes) {
+  for (int64_t i = lo; i < hi; ++i) {
     const int64_t start = starts[i];
     uint8_t* dst = out + dst_idx[i] * window * row_bytes;
     for (int64_t w = 0; w < window; ++w) {
@@ -56,6 +59,39 @@ void gather_windows_at(const uint8_t* src, uint8_t* out,
       std::memcpy(dst + w * row_bytes, src + t * row_bytes, row_bytes);
     }
   }
+}
+
+void gather_windows_at(const uint8_t* src, uint8_t* out,
+                       const int64_t* dst_idx, const int64_t* starts,
+                       int64_t n, int64_t window, int64_t t_len,
+                       int64_t row_bytes) {
+  gather_at_range(src, out, dst_idx, starts, 0, n, window, t_len, row_bytes);
+}
+
+// Multithreaded scatter gather: the single-core memcpy loop is the loader's
+// bottleneck at flagship image shapes (~300 MB/batch); chunking samples
+// across threads scales it toward memory bandwidth. Each sample writes a
+// disjoint output row, so threads never overlap.
+void gather_windows_at_mt(const uint8_t* src, uint8_t* out,
+                          const int64_t* dst_idx, const int64_t* starts,
+                          int64_t n, int64_t window, int64_t t_len,
+                          int64_t row_bytes, int64_t n_threads) {
+  n_threads = std::min<int64_t>(n_threads, n);
+  if (n_threads <= 1) {
+    gather_at_range(src, out, dst_idx, starts, 0, n, window, t_len,
+                    row_bytes);
+    return;
+  }
+  const int64_t chunk = (n + n_threads - 1) / n_threads;
+  std::vector<std::thread> threads;
+  for (int64_t t = 0; t < n_threads; ++t) {
+    const int64_t lo = t * chunk;
+    const int64_t hi = std::min(n, lo + chunk);
+    if (lo >= hi) break;
+    threads.emplace_back(gather_at_range, src, out, dst_idx, starts, lo, hi,
+                         window, t_len, row_bytes);
+  }
+  for (auto& th : threads) th.join();
 }
 
 // Multi-demo variant: each sample selects its own source demo.
