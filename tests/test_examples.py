@@ -75,8 +75,9 @@ def test_notebooks_execute(name, tmp_path):
     env = dict(os.environ)
     env.setdefault("JAX_PLATFORMS", "cpu")
     result = subprocess.run(
-        [sys.executable, "-m", "jupyter", "nbconvert", "--to", "notebook",
+        [sys.executable, "-m", "jupyter", "nbconvert",
+         "--ExecutePreprocessor.timeout=900", "--to", "notebook",
          "--execute", nb_path, "--output", str(tmp_path / "out.ipynb")],
-        capture_output=True, text=True, timeout=600, env=env,
+        capture_output=True, text=True, timeout=1200, env=env,
     )
     assert result.returncode == 0, result.stderr[-2000:]
