@@ -5,7 +5,11 @@ from robot_manipulation_vq_vae_tpu.config.base_config import (
     get_all_registered_configs,
     REGISTERED_CONFIGS,
 )
-from robot_manipulation_vq_vae_tpu.config.icl_config import ICLConfig, ICLHVQVAEConfig
+from robot_manipulation_vq_vae_tpu.config.icl_config import (
+    ICLConfig,
+    ICLGMMPaperConfig,
+    ICLHVQVAEConfig,
+)
 from robot_manipulation_vq_vae_tpu.config.bc_config import BCConfig
 from robot_manipulation_vq_vae_tpu.config.iql_config import IQLConfig
 from robot_manipulation_vq_vae_tpu.config.td3_bc_config import TD3_BCConfig

@@ -138,3 +138,25 @@ class ICLHVQVAEConfig(ICLConfig):
     """Registered under the ``icl_hvqvae`` algo name (reference icl_hvqvae.py)."""
 
     ALGO_NAME = "icl_hvqvae"
+
+
+class ICLGMMPaperConfig(ICLConfig):
+    """Registered under ``icl_gmm_paper``: the direct route to the paper's
+    LipVQ GMM transformer path (ICLTransformer_GMM + LipVQ tokenizer),
+    which the reference factory makes unreachable by routing every
+    transformer branch to ICLTransformerHVQVAE (reference icl.py:77-103;
+    see algo/icl.py routing note). Defaults flip on gmm + transformer +
+    vq_vae so ``config_factory("icl_gmm_paper")`` trains the paper model
+    out of the box."""
+
+    ALGO_NAME = "icl_gmm_paper"
+
+    def algo_config(self):
+        super().algo_config()
+        self.algo.gmm.enabled = True
+        self.algo.transformer.enabled = True
+        self.algo.transformer.vq_vae_enabled = True
+        # the base template ships both vq_vae and ln_act on (harmless for
+        # the HVQVAE path, which ignores them); the GMM encoder requires
+        # exactly one tokenizer modality
+        self.algo.transformer.ln_act_enabled = False

@@ -21,14 +21,16 @@ class FakeEnv(EnvBase):
 
     def __init__(self, env_name="FakeEnv", render=False,
                  render_offscreen=False, use_image_obs=False,
-                 use_depth_obs=False, postprocess_visual_obs=True, **kwargs):
+                 use_depth_obs=False, postprocess_visual_obs=True,
+                 ac_dim=A, **kwargs):
         self._env_name = env_name
+        self._ac_dim = ac_dim
         self._t = 0
         self._state = np.zeros(OBS_KEYS["robot0_eef_pos"], np.float32)
 
     def step(self, action):
         action = np.asarray(action)
-        assert action.shape == (A,), action.shape
+        assert action.shape == (self._ac_dim,), action.shape
         self._t += 1
         self._state = self._state + 0.01 * float(np.linalg.norm(action))
         return self.get_observation(), 1.0, False, {}
@@ -75,7 +77,7 @@ class FakeEnv(EnvBase):
 
     @property
     def action_dimension(self):
-        return A
+        return self._ac_dim
 
     @property
     def name(self):

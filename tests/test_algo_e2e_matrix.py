@@ -26,7 +26,7 @@ A = fake_env.A
 OBS_DIMS = fake_env.OBS_KEYS
 
 
-def write_dataset(path, n_demos=4, T=14, seed=0):
+def write_dataset(path, n_demos=4, T=14, seed=0, ac_dim=A):
     """Synthetic robomimic-layout dataset with obs/next_obs/rewards/dones
     (the RL algos consume all of them)."""
     rng = np.random.RandomState(seed)
@@ -34,7 +34,7 @@ def write_dataset(path, n_demos=4, T=14, seed=0):
         data = f.create_group("data")
         data.attrs["env_args"] = json.dumps(
             {"env_name": "FakeEnv", "type": fake_env.FAKE_ENV_TYPE,
-             "env_kwargs": {}}
+             "env_kwargs": {"ac_dim": ac_dim}}
         )
         for i in range(n_demos):
             ep = data.create_group(f"demo_{i}")
@@ -46,7 +46,8 @@ def write_dataset(path, n_demos=4, T=14, seed=0):
                 obs.create_dataset(k, data=arr[:-1])
                 next_obs.create_dataset(k, data=arr[1:])
             ep.create_dataset(
-                "actions", data=rng.uniform(-1, 1, (T, A)).astype(np.float32)
+                "actions",
+                data=rng.uniform(-1, 1, (T, ac_dim)).astype(np.float32),
             )
             rew = np.zeros(T, np.float64)
             rew[-1] = 1.0
@@ -112,8 +113,8 @@ def shrink_config(config, data_path, output_dir):
     return config
 
 
-def run_e2e(algo_name, tmp_path, modifier=None):
-    data_path = write_dataset(str(tmp_path / "demo.hdf5"))
+def run_e2e(algo_name, tmp_path, modifier=None, ac_dim=A):
+    data_path = write_dataset(str(tmp_path / "demo.hdf5"), ac_dim=ac_dim)
     config = config_factory(algo_name)
     config = shrink_config(config, data_path, str(tmp_path / "out"))
     if modifier is not None:
@@ -232,3 +233,16 @@ def test_e2e_icl_algos(algo_name, tmp_path):
                 vq.num_layers_per_stage = 2
 
     run_e2e(algo_name, tmp_path, mod)
+
+
+@pytest.mark.slow
+def test_e2e_icl_gmm_paper(tmp_path):
+    """The paper's LipVQ GMM transformer path, end to end via its own
+    registered config (icl_gmm_paper); actions are 12-dim to match the
+    reference's hardcoded action_input_shape (obs_nets.py:2413)."""
+
+    def mod(config):
+        _small_transformer(config)
+        config.train.batch_size = 8  # GMM path splits batch halves
+
+    run_e2e("icl_gmm_paper", tmp_path, mod, ac_dim=12)
