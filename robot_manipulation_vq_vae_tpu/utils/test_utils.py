@@ -17,7 +17,6 @@ import traceback
 
 import numpy as np
 
-import robot_manipulation_vq_vae_tpu
 import robot_manipulation_vq_vae_tpu.utils.env_utils as EnvUtils
 import robot_manipulation_vq_vae_tpu.utils.file_utils as FileUtils
 from robot_manipulation_vq_vae_tpu.config import config_factory
