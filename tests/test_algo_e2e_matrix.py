@@ -246,3 +246,16 @@ def test_e2e_icl_gmm_paper(tmp_path):
         config.train.batch_size = 8  # GMM path splits batch halves
 
     run_e2e("icl_gmm_paper", tmp_path, mod, ac_dim=12)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("gmm", [False, True])
+def test_e2e_bc_transformer(gmm, tmp_path):
+    """BC_Transformer / BC_Transformer_GMM (reference bc.py transformer
+    variants) end to end."""
+
+    def mod(config):
+        _small_transformer(config)
+        config.algo.gmm.enabled = gmm
+
+    run_e2e("bc", tmp_path, mod)
