@@ -25,6 +25,7 @@ import numpy as np
 
 
 def main():
+    bench_start = time.perf_counter()
     import jax
     import jax.numpy as jnp
 
@@ -163,15 +164,54 @@ def main():
         result["pallas_recon_max_err"] = round(pallas_max_err, 6)
 
     # flagship train-step throughput (the real workload): bf16 production
-    # config at the reference's shipped scale; see bench_train.py
+    # config at the reference's shipped scale; see bench_train.py. Runs in a
+    # SUBPROCESS with a deadline: the persistent compile cache does not
+    # survive processes on the axon backend, so every run pays the full
+    # ~2.5-4.5 min XLA compile - if tunnel variance pushes it past the
+    # remaining budget we must still print the primary JSON line rather
+    # than get killed silently by the driver's timeout.
     flagship_default = "1" if on_tpu else "0"  # CPU can't do batch-64 images
     if os.environ.get("RMVQ_BENCH_FLAGSHIP", flagship_default) == "1":
+        budget = float(os.environ.get("RMVQ_BENCH_BUDGET_SEC", "560"))
+        remaining = budget - (time.perf_counter() - bench_start)
         try:
-            import bench_train
+            import signal
+            import subprocess
+            import sys
+            import tempfile
 
-            flagship = bench_train.measure(
-                mixed_precision=on_tpu, batch_size=64, n_long=6
+            # stdout/stderr to FILES, child in its own process group:
+            # backend helper processes inherit pipes and would make a
+            # post-kill pipe read hang forever; killpg reaps them too.
+            out_f = tempfile.NamedTemporaryFile(
+                mode="w+", suffix=".bench.out", delete=False
             )
+            err_f = tempfile.NamedTemporaryFile(
+                mode="w+", suffix=".bench.err", delete=False
+            )
+            child = subprocess.Popen(
+                [sys.executable, os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "bench_train.py",
+                )],
+                env={**os.environ, "RMVQ_BF16": "1" if on_tpu else "0",
+                     "RMVQ_BATCH": "64"},
+                stdout=out_f, stderr=err_f, start_new_session=True,
+            )
+            try:
+                rc = child.wait(timeout=max(remaining, 60.0))
+            except subprocess.TimeoutExpired:
+                os.killpg(child.pid, signal.SIGKILL)
+                raise
+            out_f.seek(0)
+            lines = [ln for ln in out_f.read().splitlines()
+                     if ln.startswith("{")]
+            if rc != 0 or not lines:
+                err_f.seek(0)
+                raise RuntimeError(
+                    f"bench_train rc={rc}: {err_f.read().strip()[-200:]}"
+                )
+            flagship = json.loads(lines[-1])
             result["flagship_train_steps_per_sec"] = flagship["value"]
             result["flagship_samples_per_sec"] = flagship["samples_per_sec"]
             result["flagship_compile_sec"] = flagship["compile_sec"]
@@ -180,6 +220,11 @@ def main():
                 # achieved TFLOP/s from XLA's own FLOP count of the compiled
                 # step (v5e bf16 peak is ~197 TFLOP/s/chip)
                 result["flagship_tflops_per_sec"] = flagship["tflops_per_sec"]
+        except subprocess.TimeoutExpired:
+            result["flagship_error"] = (
+                f"timed out after {max(remaining, 60.0):.0f}s budget "
+                "(XLA compile variance over the tunnel)"
+            )
         except Exception as e:  # never lose the north-star number
             result["flagship_error"] = f"{type(e).__name__}: {e}"[:300]
     print(json.dumps(result))

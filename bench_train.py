@@ -158,7 +158,8 @@ def main(mixed_precision=False, batch_size=64):
 
 
 if __name__ == "__main__":
-    main(
+    print(json.dumps(measure(
         mixed_precision=os.environ.get("RMVQ_BF16", "0") == "1",
         batch_size=int(os.environ.get("RMVQ_BATCH", "64")),
-    )
+        n_long=int(os.environ.get("RMVQ_NLONG", "6")),
+    )))
