@@ -3,7 +3,6 @@ checkpoint-converter coverage (the reference's base_nets imports torchvision,
 which is absent here - stubbed since the GPT path never touches it)."""
 
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -16,22 +15,13 @@ import jax.numpy as jnp
 
 @pytest.fixture(scope="module")
 def ref_transformers():
-    # stub torchvision (only ResNet classes use it; GPT path does not)
-    for name in (
-        "torchvision", "torchvision.models", "torchvision.transforms",
-        "torchvision.transforms.functional",
-    ):
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            mod.__path__ = []  # mark as package so submodule imports resolve
-            sys.modules[name] = mod
-    tvt = sys.modules["torchvision.transforms"]
-    tvt.Lambda = lambda f: f
-    tvt.Compose = lambda fs: fs
-    tvt.ColorJitter = object
-    sys.modules["torchvision"].models = sys.modules["torchvision.models"]
-    sys.modules["torchvision"].transforms = tvt
-    tvt.functional = sys.modules["torchvision.transforms.functional"]
+    # stub torchvision via the shared helper (only ResNet classes use it;
+    # GPT path does not). The shared stub carries a real __spec__ so a
+    # later `import transformers` elsewhere in the suite doesn't choke on
+    # a spec-less module (order-dependent failure otherwise).
+    from tests.reference_loader import ensure_torchvision_stub
+
+    ensure_torchvision_stub()
     # minimal package context so reference-relative imports resolve
     sys.path.insert(0, "/root/reference")
     import importlib
