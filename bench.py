@@ -14,18 +14,118 @@
    bench_train.measure — the real workload, reference hot loop
    ``robomimic/utils/train_utils.py:1238-1328``.
 
-Set RMVQ_BENCH_FLAGSHIP=0 to skip (3).
+Budget choreography: the flagship child pays a 150-300 s XLA compile
+(the persistent compile cache does not survive processes on this
+backend), so it is spawned at t=0 — BEFORE the parent even initializes
+JAX — and runs concurrently with the tokenizer bench (the backend
+multiplexes concurrent clients). The parent harvests the child's result
+file at the budget deadline. Set RMVQ_BENCH_FLAGSHIP=0 to skip (3).
 """
 
 import json
 import os
+import signal
+import subprocess
+import sys
+import tempfile
 import time
 
 import numpy as np
 
 
+def _spawn_flagship():
+    """Launch bench_train.py speculatively (it self-gates on CPU backends
+    with rc=3). stdout/stderr go to FILES and the child gets its own
+    process group: backend helper processes inherit pipes and would make
+    a post-kill pipe read hang forever; killpg reaps them too."""
+    out_f = tempfile.NamedTemporaryFile(
+        mode="w+", suffix=".bench.out", delete=False
+    )
+    err_f = tempfile.NamedTemporaryFile(
+        mode="w+", suffix=".bench.err", delete=False
+    )
+    result_path = out_f.name + ".json"
+    child = subprocess.Popen(
+        [sys.executable, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_train.py",
+        )],
+        env={**os.environ,
+             "RMVQ_REQUIRE_TPU": "1",   # exit rc=3 immediately on CPU
+             "RMVQ_BF16": "1", "RMVQ_BATCH": "64",
+             "RMVQ_RESULT_FILE": result_path},
+        stdout=out_f, stderr=err_f, start_new_session=True,
+    )
+    return child, out_f, err_f, result_path
+
+
+def _harvest_flagship(child, out_f, err_f, result_path, deadline, result):
+    """Wait for the flagship child until `deadline` (absolute
+    time.perf_counter() value), then merge its fields into `result`."""
+    keep_files = False
+    try:
+        try:
+            rc = child.wait(timeout=max(deadline - time.perf_counter(), 30.0))
+        except subprocess.TimeoutExpired:
+            os.killpg(child.pid, signal.SIGKILL)
+            child.wait()
+            raise
+        if rc == 3:
+            return  # CPU backend: flagship deliberately skipped
+        flagship = None
+        if os.path.exists(result_path):
+            with open(result_path) as f:
+                flagship = json.load(f)
+        if flagship is None:
+            out_f.seek(0)
+            lines = [ln for ln in out_f.read().splitlines()
+                     if ln.startswith("{")]
+            if rc != 0 or not lines:
+                err_f.seek(0)
+                raise RuntimeError(
+                    f"bench_train rc={rc}: {err_f.read().strip()[-200:]}"
+                )
+            flagship = json.loads(lines[-1])
+        result["flagship_train_steps_per_sec"] = flagship["value"]
+        result["flagship_samples_per_sec"] = flagship["samples_per_sec"]
+        result["flagship_compile_sec"] = flagship["compile_sec"]
+        result["flagship_mixed_precision"] = flagship["mixed_precision"]
+        if "tflops_per_sec" in flagship:
+            # achieved TFLOP/s from XLA's own FLOP count of the compiled
+            # step (v5e bf16 peak is ~197 TFLOP/s/chip)
+            result["flagship_tflops_per_sec"] = flagship["tflops_per_sec"]
+    except subprocess.TimeoutExpired:
+        keep_files = True
+        result["flagship_error"] = (
+            "flagship child hit the bench deadline "
+            "(XLA compile variance over the tunnel)"
+        )
+    except Exception as e:  # never lose the north-star number
+        keep_files = True
+        result["flagship_error"] = f"{type(e).__name__}: {e}"[:300]
+    finally:
+        for f in (out_f, err_f):
+            try:
+                f.close()
+            except Exception:
+                pass
+        if not keep_files:  # keep logs only on failure, for debugging
+            for p in (out_f.name, err_f.name, result_path):
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+
+
 def main():
     bench_start = time.perf_counter()
+    budget = float(os.environ.get("RMVQ_BENCH_BUDGET_SEC", "560"))
+
+    # (3) flagship child at t=0 — before the parent touches JAX — so its
+    # 150-300 s compile overlaps the whole tokenizer bench below.
+    child = None
+    if os.environ.get("RMVQ_BENCH_FLAGSHIP", "1") == "1":
+        child, out_f, err_f, result_path = _spawn_flagship()
+
     import jax
     import jax.numpy as jnp
 
@@ -117,15 +217,6 @@ def main():
             f"tolerance 5e-3 on assignment-agreeing rows"
         )
 
-    @jax.jit
-    def roundtrip(v, x):
-        recon, idx = model.apply(v, x, method=method)
-        return recon, idx
-
-    x = jnp.asarray(
-        np.random.RandomState(0).randn(BATCH, FEATURE_DIM).astype(np.float32)
-    )
-
     import functools
 
     @functools.partial(jax.jit, static_argnames="n")
@@ -140,7 +231,14 @@ def main():
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, x))
 
-    n_short, n_long = (1, 5) if not on_tpu else (1, 401)
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(BATCH, FEATURE_DIM).astype(np.float32)
+    )
+
+    # 101 iters keeps the measured window ~60ms (plenty vs the ~us-level
+    # timer noise after differencing) without the compile+execute cost the
+    # old 401-iteration chain paid out of the child's budget.
+    n_short, n_long = (1, 5) if not on_tpu else (1, 101)
     # warmup/compile both trip counts
     float(chain(variables, x, n_short))
     float(chain(variables, x, n_long))
@@ -163,70 +261,10 @@ def main():
     if pallas_max_err is not None:
         result["pallas_recon_max_err"] = round(pallas_max_err, 6)
 
-    # flagship train-step throughput (the real workload): bf16 production
-    # config at the reference's shipped scale; see bench_train.py. Runs in a
-    # SUBPROCESS with a deadline: the persistent compile cache does not
-    # survive processes on the axon backend, so every run pays the full
-    # ~2.5-4.5 min XLA compile - if tunnel variance pushes it past the
-    # remaining budget we must still print the primary JSON line rather
-    # than get killed silently by the driver's timeout.
-    flagship_default = "1" if on_tpu else "0"  # CPU can't do batch-64 images
-    if os.environ.get("RMVQ_BENCH_FLAGSHIP", flagship_default) == "1":
-        budget = float(os.environ.get("RMVQ_BENCH_BUDGET_SEC", "560"))
-        remaining = budget - (time.perf_counter() - bench_start)
-        try:
-            import signal
-            import subprocess
-            import sys
-            import tempfile
-
-            # stdout/stderr to FILES, child in its own process group:
-            # backend helper processes inherit pipes and would make a
-            # post-kill pipe read hang forever; killpg reaps them too.
-            out_f = tempfile.NamedTemporaryFile(
-                mode="w+", suffix=".bench.out", delete=False
-            )
-            err_f = tempfile.NamedTemporaryFile(
-                mode="w+", suffix=".bench.err", delete=False
-            )
-            child = subprocess.Popen(
-                [sys.executable, os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)),
-                    "bench_train.py",
-                )],
-                env={**os.environ, "RMVQ_BF16": "1" if on_tpu else "0",
-                     "RMVQ_BATCH": "64"},
-                stdout=out_f, stderr=err_f, start_new_session=True,
-            )
-            try:
-                rc = child.wait(timeout=max(remaining, 60.0))
-            except subprocess.TimeoutExpired:
-                os.killpg(child.pid, signal.SIGKILL)
-                raise
-            out_f.seek(0)
-            lines = [ln for ln in out_f.read().splitlines()
-                     if ln.startswith("{")]
-            if rc != 0 or not lines:
-                err_f.seek(0)
-                raise RuntimeError(
-                    f"bench_train rc={rc}: {err_f.read().strip()[-200:]}"
-                )
-            flagship = json.loads(lines[-1])
-            result["flagship_train_steps_per_sec"] = flagship["value"]
-            result["flagship_samples_per_sec"] = flagship["samples_per_sec"]
-            result["flagship_compile_sec"] = flagship["compile_sec"]
-            result["flagship_mixed_precision"] = flagship["mixed_precision"]
-            if "tflops_per_sec" in flagship:
-                # achieved TFLOP/s from XLA's own FLOP count of the compiled
-                # step (v5e bf16 peak is ~197 TFLOP/s/chip)
-                result["flagship_tflops_per_sec"] = flagship["tflops_per_sec"]
-        except subprocess.TimeoutExpired:
-            result["flagship_error"] = (
-                f"timed out after {max(remaining, 60.0):.0f}s budget "
-                "(XLA compile variance over the tunnel)"
-            )
-        except Exception as e:  # never lose the north-star number
-            result["flagship_error"] = f"{type(e).__name__}: {e}"[:300]
+    if child is not None:
+        # leave ~10s of the budget for harvest + print
+        deadline = bench_start + budget - 10.0
+        _harvest_flagship(child, out_f, err_f, result_path, deadline, result)
     print(json.dumps(result))
 
 

@@ -158,8 +158,25 @@ def main(mixed_precision=False, batch_size=64):
 
 
 if __name__ == "__main__":
-    print(json.dumps(measure(
-        mixed_precision=os.environ.get("RMVQ_BF16", "0") == "1",
+    if os.environ.get("RMVQ_REQUIRE_TPU", "0") == "1":
+        # launched speculatively (before the parent knows its backend):
+        # bail out cheaply on CPU, where batch-64 image training is
+        # infeasible. rc=3 tells the parent "skipped, not failed".
+        import jax
+
+        if jax.default_backend() == "cpu":
+            print(json.dumps({"skipped": "cpu backend"}))
+            raise SystemExit(3)
+    mp = os.environ.get("RMVQ_BF16", "0") == "1"
+    result = measure(
+        mixed_precision=mp,
         batch_size=int(os.environ.get("RMVQ_BATCH", "64")),
         n_long=int(os.environ.get("RMVQ_NLONG", "6")),
-    )))
+    )
+    # write to a result file as soon as measured (more robust than stdout
+    # harvesting if the parent kills us between print and flush)
+    path = os.environ.get("RMVQ_RESULT_FILE")
+    if path:
+        with open(path, "w") as f:
+            json.dump(result, f)
+    print(json.dumps(result))
