@@ -29,6 +29,12 @@ def get_env_class(env_meta=None, env_type=None, env=None):
         from robot_manipulation_vq_vae_tpu.envs.env_gym import EnvGym
 
         return EnvGym
+    if env_type == EnvType.IG_MOMART_TYPE:
+        from robot_manipulation_vq_vae_tpu.envs.env_ig_momart import (
+            EnvIGMomart,
+        )
+
+        return EnvIGMomart
     raise ValueError(f"unknown env type {env_type}")
 
 
@@ -73,6 +79,12 @@ def create_env_from_metadata(env_meta, env_name=None, render=False,
     env_lang = env_meta.get("env_lang", None)
     if env_lang is not None:
         env_kwargs["env_lang"] = env_lang
+    # MOMART metadata stores ig_config at the top level of env_meta
+    # (EnvIGMomart.serialize); thread it through so momart datasets reach
+    # the constructor via this factory (the reference factory drops it and
+    # only works when ig_config is duplicated into env_kwargs)
+    if "ig_config" in env_meta and "ig_config" not in env_kwargs:
+        env_kwargs["ig_config"] = env_meta["ig_config"]
     return create_env(
         env_type=env_type,
         env_name=env_name,
