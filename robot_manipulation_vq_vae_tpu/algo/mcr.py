@@ -7,9 +7,10 @@ MCR-pretrained) ResNet-50 visual encoder. The factory routing mirrors the BC
 routing (reference mcr_main.py:26-76). Pretrained MCR weights are a gated
 local artifact (zero-egress): point ``RMVQ_MCR_CKPT`` at a converted numpy
 checkpoint to warm-start the visual trunk; otherwise the ResNet-50 trains
-from scratch. The representation-*pretraining* side project
-(``mcr/train_representation.py``, unused by the reference main path) is out
-of scope here.
+from scratch. The representation-*pretraining* loop that produces such
+trunks (reference ``mcr/train_representation.py``) is ported in
+``algo/mcr_pretrain.py`` + ``scripts/train_mcr_representation.py``; its
+``export_trunk`` writes exactly the pickle this warm-start consumes.
 """
 
 import os
