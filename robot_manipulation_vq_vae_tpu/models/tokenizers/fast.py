@@ -43,7 +43,12 @@ def resample_latents(latents, seq_len):
     latents = np.asarray(latents)
     d, dim = latents.shape
     if d >= seq_len:
-        idx = np.linspace(0, d - 1, seq_len).astype(np.int64)
+        # float32 linspace to reproduce torch.linspace(...).long() exactly:
+        # fp64 rounding can land just above an integer where fp32 lands
+        # just below, selecting a different row
+        idx = np.linspace(0, d - 1, seq_len, dtype=np.float32).astype(
+            np.int64
+        )
         return latents[idx]
     out = np.zeros((seq_len, dim), latents.dtype)
     out[:d] = latents

@@ -221,8 +221,10 @@ def build_parser():
     parser.add_argument("--rot_sensitivity", type=float, default=4.0)
     parser.add_argument("--max_fr", type=int, default=30,
                         help="teleop frame-rate cap")
-    parser.add_argument("--mirror_actions", action="store_true",
-                        default=True)
+    parser.add_argument("--mirror_actions",
+                        action=argparse.BooleanOptionalAction, default=True,
+                        help="mirror actions for camera-facing teleop "
+                             "(--no-mirror_actions to disable)")
     parser.add_argument("--layout", type=int, nargs="+", default=None)
     parser.add_argument("--style", type=int, nargs="+", default=None)
     parser.add_argument("--generative_textures", action="store_true")

@@ -24,6 +24,7 @@ import argparse
 import json
 import multiprocessing
 import os
+import queue as pyqueue
 import time
 import traceback
 
@@ -149,7 +150,14 @@ def _worker(proc_idx, dataset_path, demos, work_queue, result_queue,
                     traceback.print_exc()
                     result_queue.put((ep, None, proc_idx))
     finally:
-        result_queue.put(("__done__", None, proc_idx))
+        # the done sentinel carries env.serialize() so the parent can write
+        # the env_args attr without building (another) expensive sim env
+        env_args = None
+        try:
+            env_args = env.serialize()
+        except Exception:
+            pass
+        result_queue.put(("__done__", env_args, proc_idx))
 
 
 # ---------------------------------------------------------------------------
@@ -263,6 +271,7 @@ def run(args, env_factory=default_env_factory):
             print(f"ep {num_written}: wrote {n} transitions to group {ep} "
                   f"({rate:.2f} sec/demo)")
 
+        env_args = None  # env.serialize() blob for the env_args attr
         if args.num_procs <= 0:
             # serial in-process mode
             env = env_factory(dict(env_meta), args)
@@ -279,6 +288,9 @@ def run(args, env_factory=default_env_factory):
                     include_next_obs=args.include_next_obs,
                     add_datagen_info=args.add_datagen_info,
                 ))
+            env_args = env.serialize()  # reuse the serial env
+            if hasattr(env, "close"):
+                env.close()
         else:
             # spawn: fork is unsafe once JAX/h5py threads exist in the parent
             ctx = multiprocessing.get_context("spawn")
@@ -298,21 +310,45 @@ def run(args, env_factory=default_env_factory):
             ]
             for p in procs:
                 p.start()
-            finished = 0
-            while finished < len(procs):
-                ep, traj, _ = result_queue.get()
-                if ep == "__done__":
-                    finished += 1
+            # poll with a timeout and track worker liveness: sentinels come
+            # from a Python finally block, so a hard-killed worker (MuJoCo
+            # segfault, OOM) would otherwise hang this loop forever; a dead
+            # worker only loses its one in-flight demo — queued indices are
+            # picked up by the surviving workers
+            done_workers = set()
+            while len(done_workers) < len(procs):
+                try:
+                    ep, payload, widx = result_queue.get(timeout=10.0)
+                except pyqueue.Empty:
+                    for i, p in enumerate(procs):
+                        if i not in done_workers and not p.is_alive():
+                            done_workers.add(i)
+                            print(
+                                f"WARNING: worker {i} died hard (exitcode "
+                                f"{p.exitcode}); its in-flight demo was "
+                                f"skipped"
+                            )
                     continue
-                write(ep, traj)
+                if ep == "__done__":
+                    done_workers.add(widx)
+                    if payload is not None:
+                        env_args = payload
+                    continue
+                write(ep, payload)
             for p in procs:
                 p.join()
 
         if "mask" in fin:
             fin.copy("mask", fout)
         data_grp.attrs["total"] = total_samples
-        env = env_factory(dict(env_meta), args)
-        data_grp.attrs["env_args"] = json.dumps(env.serialize(), indent=4)
+        if env_args is None:
+            # last resort (e.g. every worker died before serializing):
+            # build a fresh env just for the metadata
+            env = env_factory(dict(env_meta), args)
+            env_args = env.serialize()
+            if hasattr(env, "close"):
+                env.close()
+        data_grp.attrs["env_args"] = json.dumps(env_args, indent=4)
 
     print(f"Wrote {total_samples} total samples to {output_path}")
 

@@ -219,3 +219,38 @@ def test_make_demo_ids_contiguous(tmp_path):
         # numeric order preserved: old demo_3 -> demo_1, demo_7 -> demo_2
         assert f["data/demo_1/actions"][0, 0] == 3.0
         assert f["data/demo_2/actions"][0, 0] == 7.0
+
+
+def killing_factory(env_meta, args):
+    """Module-level (picklable) factory where the FIRST worker to build its
+    env dies hard (os._exit, skipping all finally blocks) — simulating a
+    MuJoCo segfault / OOM kill."""
+    import os
+
+    flag = str(args.dataset) + ".killed.flag"
+    try:
+        fd = os.open(flag, os.O_CREAT | os.O_EXCL)
+        os.close(fd)
+        os._exit(137)
+    except FileExistsError:
+        pass
+    return fake_factory(env_meta, args)
+
+
+@pytest.mark.slow
+def test_writer_survives_hard_killed_worker(source, tmp_path):
+    """The parent's writer loop must not hang when a worker dies without
+    sending its done sentinel (ADVICE r2: sentinels come from a finally
+    block, so a hard kill used to deadlock result_queue.get())."""
+    a_serial = parse(["--num_procs", "0", "--camera_names"], source, "s.hdf5")
+    a_mp = parse(["--num_procs", "3", "--camera_names"], source, "k.hdf5")
+    out1 = run(a_serial, env_factory=fake_factory)
+    out2 = run(a_mp, env_factory=killing_factory)
+    # the dead worker never dequeued a demo, so the survivors must have
+    # produced the complete, serial-identical output
+    with h5py.File(out1) as f1, h5py.File(out2) as f2:
+        assert sorted(f1["data"].keys()) == sorted(f2["data"].keys())
+        for ep in f1["data"]:
+            np.testing.assert_allclose(
+                f1[f"data/{ep}/obs/flat"][()], f2[f"data/{ep}/obs/flat"][()]
+            )
