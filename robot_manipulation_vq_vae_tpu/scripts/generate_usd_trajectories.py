@@ -1,57 +1,200 @@
 """Export dataset trajectories as USD scenes for offline rendering
-(reference ``robocasa/scripts/generate_usd_trajectories.py`` +
-``robocasa/utils/usd/``): replay each demo's stored sim states and stream
-the MuJoCo scene into a USD stage per episode.
+(reference ``robocasa/scripts/generate_usd_trajectories.py:1-263`` +
+``robocasa/utils/usd/`` 1209 LoC).
+
+Scene streaming delegates to **MuJoCo's built-in USD exporter**
+(``mujoco.usd.exporter.USDExporter``, MuJoCo >= 3.x). The reference's
+``robocasa/utils/usd/`` package is a vendored fork of that same exporter;
+the API surface is identical (``update_scene`` / ``add_camera`` /
+``add_light`` / ``save_scene``), so the delegate reproduces the reference
+pipeline without re-vendoring 1209 LoC. Capability matrix vs the fork:
+
+===============================  ==========================================
+reference ``utils/usd`` feature  MuJoCo built-in exporter
+===============================  ==========================================
+per-geom mesh/material/texture   yes — same component streaming (the fork
+streaming, per-frame time        is derived from it)
+samples
+model cameras via                yes (same kwarg)
+``camera_names``
+``add_camera(pos, rotation)``    yes (``obj_name`` vs the fork's ``objid``
+                                 naming)
+``add_light(..)`` sphere lights  yes
+``add_light(light_type="dome")`` **no** — the fork adds dome lights; the
+                                 delegate substitutes a high sphere light
+                                 and logs the divergence
+``specialized_materials_file``   yes (same kwarg)
+output layout                    ``<root>/<episode>/`` with
+                                 ``frames/*.usd(a)`` + ``assets/`` — same
+                                 shape; asset filenames may differ
+===============================  ==========================================
 
 Host-side, sim-bound AND USD-bound: requires robosuite/robocasa (MuJoCo
->= 3) and the OpenUSD python bindings (``pxr``). The hdf5 iteration and
-file layout are self-contained; the scene streaming delegates to MuJoCo's
-USD exporter."""
+>= 3) and the OpenUSD bindings (``pxr``). The hdf5 iteration, episode
+layout, camera tables and flag surface are self-contained and tested
+pxr-free by injecting fake env/exporter factories
+(``tests/test_generate_usd.py``).
+"""
 
 import argparse
 import json
 import os
 
 import h5py
+import numpy as np
+
+# Per-layout front-camera placements (reference
+# generate_usd_trajectories.py:20-44 — the values are the data: they are
+# hand-tuned viewpoints for RoboCasa's 10 kitchen layouts).
+FRONT_CAMERA_POS = {
+    0: (2.25, -5.74, 1.75),
+    1: (2.65, -6.17, 1.9),
+    2: (0.03418, -5.66508, 2.46522),
+    3: (6.415, -5.16, 2.58),
+    4: (1.6, -7, 1.749),
+    5: (2.077, -6.369, 1.922),
+    6: (3.2, -7.56, 2.3),
+    7: (2.2, -7.613, 1.91),
+    8: (2.248, -7.643, 1.81),
+    9: (4.212, -6.63, 2),
+}
+
+FRONT_CAMERA_ANGLE = {
+    0: (84.09, 0, 0),
+    1: (80.24, 0, 0),
+    2: (72.10401, 0, -41.11511),
+    3: (73.23, 0, 58.19),
+    4: (79, 0, 0),
+    5: (79.755, 0, 0.103),
+    6: (76.93, 0, 0.786),
+    7: (78.139, 0, 0),
+    8: (79.98, 0, 0),
+    9: (76.754, 0, 0),
+}
+
+DEFAULT_CAMERA_NAMES = [
+    "robot0_eye_in_hand",
+    "robot0_agentview_left",
+    "robot0_agentview_right",
+]
 
 
-def export_demo_to_usd(env, states, output_dir, demo_name, camera_height=480,
-                       camera_width=640):
-    """Replay @states and write one USD stage for the episode."""
-    from mujoco.usd.exporter import USDExporter  # MuJoCo's built-in exporter
+def _default_exporter_factory(model, args, episode, output_dir):
+    from mujoco.usd.exporter import USDExporter  # requires pxr
 
-    exporter = USDExporter(
-        model=env.env.sim.model._model,
-        height=camera_height,
-        width=camera_width,
-        output_directory_name=demo_name,
+    return USDExporter(
+        model=model,
+        height=args.camera_height,
+        width=args.camera_width,
+        output_directory=episode,
         output_directory_root=output_dir,
+        light_intensity=100000,  # reference :96
+        camera_names=list(args.camera_names),
     )
-    for t in range(len(states)):
-        env.reset_to({"states": states[t]})
-        exporter.update_scene(env.env.sim.data._data)
+
+
+def _scene_option():
+    """Visual-geom-only scene option (reference :115-116:
+    geomgroup = [0, 1, 1, 0, 0, 0])."""
+    try:
+        import mujoco
+
+        opt = mujoco.MjvOption()
+        opt.geomgroup[:] = [0, 1, 1, 0, 0, 0]
+        return opt
+    except ImportError:
+        return None
+
+
+def export_episode(env, initial_state, states, output_dir, episode, args,
+                   actions=None, exporter_factory=None):
+    """Replay one demo and stream every frame into a USD stage (reference
+    ``playback_trajectory_with_env`` :57-128)."""
+    exporter_factory = exporter_factory or _default_exporter_factory
+
+    env.reset()
+    env.reset_to(initial_state)
+    sim = env.env.sim
+    exporter = exporter_factory(
+        sim.model._model, args, episode, output_dir
+    )
+    scene_option = _scene_option()
+
+    n = 1 if args.first else len(states)
+    for t in range(n):
+        if actions is not None and t > 0:
+            env.step(actions[t - 1])  # open-loop action playback
+        else:
+            env.reset_to({"states": states[t]})
+        exporter.update_scene(sim.data._data, scene_option=scene_option)
+
+    # per-layout front camera (reference :120-122); layouts outside the
+    # table simply get no extra camera
+    layout_id = None
+    ep_meta = initial_state.get("ep_meta")
+    if ep_meta:
+        if isinstance(ep_meta, (str, bytes)):
+            ep_meta = json.loads(ep_meta)
+        layout_id = ep_meta.get("layout_id")
+    if layout_id is not None and int(layout_id) in FRONT_CAMERA_POS:
+        exporter.add_camera(
+            list(FRONT_CAMERA_POS[int(layout_id)]),
+            list(FRONT_CAMERA_ANGLE[int(layout_id)]),
+            obj_name="frontview",
+        )
+
+    # the reference adds a dome light (its exporter fork's extension);
+    # MuJoCo's built-in exporter has no dome type — substitute an overhead
+    # sphere light (documented divergence, see module docstring)
+    try:
+        exporter.add_light(
+            pos=[0.0, 0.0, 5.0], intensity=4000, obj_name="dome_light"
+        )
+    except TypeError:
+        pass  # exporter without add_light kwargs — skip the extra light
+
     exporter.save_scene(filetype="usd")
 
 
-def main(args):
+def list_demos(f, args):
+    """filter_key / demo_key / --n selection with numeric ordering
+    (reference :162-178 + robomimic conventions)."""
+    if args.filter_key is not None:
+        demos = [e.decode("utf-8")
+                 for e in np.array(f[f"mask/{args.filter_key}"])]
+    else:
+        demos = list(f["data"].keys())
+    demos = sorted(demos, key=lambda d: int(d.split("_")[-1]))
+    if args.demo_key is not None:
+        demos = [d for d in demos
+                 if int(d.split("_")[-1]) == args.demo_key]
+    if args.n is not None:
+        demos = demos[: args.n]
+    return demos
+
+
+def main(args, env_factory=None, exporter_factory=None):
     from robot_manipulation_vq_vae_tpu.utils import env_utils as EnvUtils
     from robot_manipulation_vq_vae_tpu.utils import file_utils as FileUtils
     from robot_manipulation_vq_vae_tpu.utils import obs_utils as ObsUtils
 
+    # observations are unused during playback; dummy spec (reference :143-151)
     ObsUtils.initialize_obs_utils_with_obs_specs(
         obs_modality_specs=dict(obs=dict(low_dim=["robot0_eef_pos"], rgb=[]))
     )
     env_meta = FileUtils.get_env_metadata_from_dataset(args.dataset)
-    env = EnvUtils.create_env_from_metadata(
-        env_meta=env_meta, render=False, render_offscreen=True
-    )
+    if env_factory is not None:
+        env = env_factory(env_meta, args)
+    else:
+        env = EnvUtils.create_env_from_metadata(
+            env_meta=env_meta, render=False, render_offscreen=True
+        )
 
-    os.makedirs(args.output_dir, exist_ok=True)
+    output_dir = args.output_dir or args.dataset.split(".hdf5")[0] + "_usd"
+    os.makedirs(output_dir, exist_ok=True)
+    exported = []
     with h5py.File(args.dataset, "r") as f:
-        demos = sorted(list(f["data"].keys()))
-        if args.n is not None:
-            demos = demos[: args.n]
-        for ep in demos:
+        for ep in list_demos(f, args):
             states = f[f"data/{ep}/states"][()]
             init = {"states": states[0]}
             model_xml = f[f"data/{ep}"].attrs.get("model_file")
@@ -59,25 +202,41 @@ def main(args):
                 init["model"] = model_xml
             ep_meta = f[f"data/{ep}"].attrs.get("ep_meta")
             if ep_meta is not None:
-                init["ep_meta"] = json.loads(ep_meta) if isinstance(
-                    ep_meta, str
-                ) else ep_meta
-            env.reset()
-            env.reset_to(init)
-            export_demo_to_usd(
-                env, states, args.output_dir, ep,
-                camera_height=args.camera_height,
-                camera_width=args.camera_width,
+                init["ep_meta"] = ep_meta
+            actions = (
+                f[f"data/{ep}/actions"][()] if args.use_actions else None
             )
+            export_episode(
+                env, init, states, output_dir, ep, args, actions=actions,
+                exporter_factory=exporter_factory,
+            )
+            exported.append(ep)
             print(f"exported {ep}")
-    print(f"USD stages written under {args.output_dir}")
+    print(f"USD stages written under {output_dir}")
+    return exported
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    parser.add_argument("--dataset", type=str, required=True)
+    parser.add_argument("--output_dir", type=str, default=None,
+                        help="default: <dataset>_usd")
+    parser.add_argument("--filter_key", type=str, default=None)
+    parser.add_argument("--demo_key", type=int, default=None,
+                        help="a single demo index to convert")
+    parser.add_argument("--n", type=int, default=None)
+    parser.add_argument("--use-actions", dest="use_actions",
+                        action="store_true",
+                        help="open-loop action playback instead of state "
+                             "replay")
+    parser.add_argument("--first", action="store_true",
+                        help="only the first frame of each episode")
+    parser.add_argument("--camera_names", type=str, nargs="+",
+                        default=list(DEFAULT_CAMERA_NAMES))
+    parser.add_argument("--camera_height", type=int, default=480)
+    parser.add_argument("--camera_width", type=int, default=640)
+    return parser
 
 
 if __name__ == "__main__":
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--dataset", type=str, required=True)
-    parser.add_argument("--output_dir", type=str, required=True)
-    parser.add_argument("--n", type=int, default=None)
-    parser.add_argument("--camera_height", type=int, default=480)
-    parser.add_argument("--camera_width", type=int, default=640)
-    main(parser.parse_args())
+    main(build_parser().parse_args())
