@@ -1,0 +1,454 @@
+"""Conv-trunk MFU experiment campaign (run on the real TPU chip).
+
+The flagship ICLTransformerHVQVAE step at the shipped scale is ~39% MFU and
+the FiLM-ResNet18 trunk IS the step (~112 of 122 ms — docs/design.md §4).
+This script runs controlled experiments against that trunk and appends each
+result to a JSON file, so docs/design.md's optimization table is backed by
+measurements rather than claims. One process runs several experiments to
+amortize the tunnel's per-process compile penalty.
+
+Experiments (``--exps``, comma-separated):
+
+  baseline     stock flagship bf16 step (bench_train.measure)
+  bn_frozen    BatchNorm forced to frozen running stats — NOT adoptable
+               (training semantics require batch stats) but bounds what any
+               BN optimization could recover
+  stem_pad8    stem input zero-padded 3->8 channels before conv1 (kernel
+               7x7x8x64): tests whether Mosaic tiles an 8-channel input
+               conv better than the native 3-channel one
+  trunk_stages cumulative-prefix timing of the FiLM trunk fwd+bwd at
+               flagship shapes -> per-stage achieved-vs-peak table (the
+               roofline evidence for design.md §4)
+
+XLA-flag experiments need a fresh backend, so run this script once per
+flag set, e.g.::
+
+  LIBTPU_INIT_ARGS=--xla_tpu_scoped_vmem_limit_kib=65536 \
+      python -m robot_manipulation_vq_vae_tpu.scripts.mfu_campaign \
+      --exps baseline --tag vmem64m --out /tmp/mfu.json
+
+Results accumulate in --out as {tag_or_name: result}.
+"""
+
+import argparse
+import functools
+import json
+import os
+import time
+
+import numpy as np
+
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
+def _append_result(path, name, result):
+    data = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+    data[name] = result
+    with open(path, "w") as f:
+        json.dump(data, f, indent=2)
+    print(f"[{name}] {json.dumps(result)}")
+
+
+def run_flagship(n_long=6):
+    import bench_train
+
+    return bench_train.measure(
+        mixed_precision=True, batch_size=64, n_long=n_long
+    )
+
+
+def exp_baseline(args):
+    return run_flagship(args.n_long)
+
+
+def exp_bn_frozen(args):
+    """Force every BatchNorm to frozen running stats for the whole step.
+    object.__setattr__ bypasses the frozen flax dataclass; the attribute is
+    rewritten just before the original __call__ reads it, so parameter
+    structure is unchanged and only the cross-batch reductions disappear."""
+    import flax.linen as nn
+
+    orig_call = nn.BatchNorm.__call__
+
+    def frozen_call(self, x, *a, **kw):
+        object.__setattr__(self, "use_running_average", True)
+        return orig_call(self, x, *a, **kw)
+
+    nn.BatchNorm.__call__ = frozen_call
+    try:
+        return run_flagship(args.n_long)
+    finally:
+        nn.BatchNorm.__call__ = orig_call
+
+
+def exp_stem_pad8(args):
+    """Zero-pad the stem input 3->8 channels; flax shape inference gives
+    conv1 a 7x7x8x64 kernel (same math: pad channels multiply zero
+    weights)."""
+    import jax.numpy as jnp
+
+    from robot_manipulation_vq_vae_tpu.models import base_nets
+
+    orig_call = base_nets._ResNet18Stem.__call__
+
+    def padded_call(self, x, train=False):
+        x = jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, 8 - x.shape[-1]),))
+        return orig_call(self, x, train=train)
+
+    base_nets._ResNet18Stem.__call__ = padded_call
+    try:
+        return run_flagship(args.n_long)
+    finally:
+        base_nets._ResNet18Stem.__call__ = orig_call
+
+
+def exp_trunk_stages(args):
+    """Cumulative-prefix fwd+bwd timing of the FiLM-ResNet18 trunk at
+    flagship shapes (3072 frames of 116x116, bf16), differenced into a
+    per-stage table with XLA-counted FLOPs vs the v5e bf16 peak.
+
+    Prefixes: stem only, then +stage1..+stage4 (2 BasicBlocks + FiLM
+    each). Timing uses the on-device fori_loop chain from design.md §7;
+    the carry feeds the input-gradient back so iterations serialize, and
+    parameter gradients are reduced into the carry scalar so XLA cannot
+    dead-code-eliminate the filter-gradient convolutions."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from robot_manipulation_vq_vae_tpu.models.base_nets import (
+        _RESNET18_PLAN,
+        BasicBlock,
+        FiLMLayer,
+        _ResNet18Stem,
+    )
+
+    N, H, W = args.stage_frames, 116, 116
+    LANG = 768
+
+    class Prefix(nn.Module):
+        n_blocks: int  # 0 = stem only
+
+        @nn.compact
+        def __call__(self, x, lang_emb, train=True):
+            x = _ResNet18Stem(name="stem")(x, train=train)
+            for i, (feat, stride) in enumerate(
+                _RESNET18_PLAN[: self.n_blocks]
+            ):
+                x = BasicBlock(features=feat, stride=stride,
+                               name=f"block{i}")(x, train=train)
+                x = FiLMLayer(channels=feat, name=f"film{i}")(x, lang_emb)
+            return x
+
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.randn(N, H, W, 3).astype(np.float32), jnp.bfloat16)
+    lang = jnp.asarray(rng.randn(N, LANG).astype(np.float32), jnp.bfloat16)
+
+    rows = []
+    prev_ms, prev_tf = 0.0, 0.0
+    # stage boundaries in the 8-block plan: stem, +2, +4, +6, +8
+    for label, n_blocks in [("stem", 0), ("stage1", 2), ("stage2", 4),
+                            ("stage3", 6), ("stage4", 8)]:
+        model = Prefix(n_blocks=n_blocks)
+        variables = model.init(jax.random.PRNGKey(0), x0, lang, train=False)
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), variables["params"]
+        )
+        batch_stats = variables.get("batch_stats", {})
+
+        def loss_fn(p, x):
+            out = model.apply(
+                {"params": p, "batch_stats": batch_stats}, x, lang,
+                train=True, mutable=["batch_stats"],
+            )[0]
+            return jnp.sum(out.astype(jnp.float32))
+
+        grad_fn = jax.grad(loss_fn, argnums=(0, 1))
+
+        @functools.partial(jax.jit, static_argnames="n")
+        def chain(p, x, n):
+            def body(_, carry):
+                x, acc = carry
+                gp, gx = grad_fn(p, x)
+                # consume param grads so the filter-grad convs survive DCE
+                acc = acc + sum(
+                    jnp.sum(g.astype(jnp.float32))
+                    for g in jax.tree_util.tree_leaves(gp)
+                )
+                return (x + 1e-6 * gx, acc)
+
+            out = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0.0)))
+            return out[1] + jnp.sum(out[0].astype(jnp.float32))
+
+        n_short, n_long = 1, args.stage_n_long
+        float(chain(params, x0, n_short))
+        float(chain(params, x0, n_long))
+        t0 = time.perf_counter()
+        float(chain(params, x0, n_short))
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(chain(params, x0, n_long))
+        t_l = time.perf_counter() - t0
+        ms = (t_l - t_s) / (n_long - n_short) * 1e3
+
+        tf = None
+        try:
+            cost = (
+                jax.jit(lambda p, x: grad_fn(p, x))
+                .lower(params, x0).compile().cost_analysis()
+            )
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            if cost:
+                tf = float(cost.get("flops", 0.0)) / 1e12
+        except Exception:
+            pass
+
+        row = {"prefix": label, "cumulative_ms": round(ms, 2)}
+        row["stage_ms"] = round(ms - prev_ms, 2)
+        if tf is not None:
+            row["cumulative_tflop"] = round(tf, 3)
+            row["stage_tflop"] = round(tf - prev_tf, 3)
+            if row["stage_ms"] > 0:
+                achieved = (tf - prev_tf) / (row["stage_ms"] / 1e3)
+                row["stage_tflops_per_sec"] = round(achieved, 1)
+                row["stage_pct_of_peak"] = round(
+                    100.0 * achieved / V5E_BF16_PEAK_TFLOPS, 1
+                )
+            prev_tf = tf
+        prev_ms = ms
+        rows.append(row)
+        print(json.dumps(row))
+    return {"frames": N, "rows": rows}
+
+
+def exp_trunk_stages_pchain(args):
+    """Like trunk_stages, but the chain carries the *parameters*
+    (params - 1e-9 * grad), not the input: no gradient w.r.t. the image is
+    forced, matching the real training step where the first conv has no
+    input-gradient. The delta vs trunk_stages isolates the cost of the
+    stem's (unneeded) data-gradient convolution."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from robot_manipulation_vq_vae_tpu.models.base_nets import (
+        _RESNET18_PLAN,
+        BasicBlock,
+        FiLMLayer,
+        _ResNet18Stem,
+    )
+
+    N, H, W = args.stage_frames, 116, 116
+    LANG = 768
+
+    class Prefix(nn.Module):
+        n_blocks: int
+
+        @nn.compact
+        def __call__(self, x, lang_emb, train=True):
+            x = _ResNet18Stem(name="stem")(x, train=train)
+            for i, (feat, stride) in enumerate(
+                _RESNET18_PLAN[: self.n_blocks]
+            ):
+                x = BasicBlock(features=feat, stride=stride,
+                               name=f"block{i}")(x, train=train)
+                x = FiLMLayer(channels=feat, name=f"film{i}")(x, lang_emb)
+            return x
+
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.randn(N, H, W, 3).astype(np.float32), jnp.bfloat16)
+    lang = jnp.asarray(rng.randn(N, LANG).astype(np.float32), jnp.bfloat16)
+
+    rows = []
+    prev_ms, prev_tf = 0.0, 0.0
+    for label, n_blocks in [("stem", 0), ("stage1", 2), ("stage2", 4),
+                            ("stage3", 6), ("stage4", 8)]:
+        model = Prefix(n_blocks=n_blocks)
+        variables = model.init(jax.random.PRNGKey(0), x0, lang, train=False)
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), variables["params"]
+        )
+        batch_stats = variables.get("batch_stats", {})
+
+        def loss_fn(p):
+            out = model.apply(
+                {"params": p, "batch_stats": batch_stats}, x0, lang,
+                train=True, mutable=["batch_stats"],
+            )[0]
+            return jnp.sum(out.astype(jnp.float32))
+
+        grad_fn = jax.grad(loss_fn)
+
+        @functools.partial(jax.jit, static_argnames="n")
+        def chain(p, n):
+            def body(_, p):
+                g = grad_fn(p)
+                return jax.tree_util.tree_map(
+                    lambda w, gw: w - jnp.bfloat16(1e-9) * gw, p, g
+                )
+
+            out = jax.lax.fori_loop(0, n, body, p)
+            return sum(
+                jnp.sum(le.astype(jnp.float32))
+                for le in jax.tree_util.tree_leaves(out)
+            )
+
+        n_short, n_long = 1, args.stage_n_long
+        float(chain(params, n_short))
+        float(chain(params, n_long))
+        t0 = time.perf_counter()
+        float(chain(params, n_short))
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(chain(params, n_long))
+        t_l = time.perf_counter() - t0
+        ms = (t_l - t_s) / (n_long - n_short) * 1e3
+
+        tf = None
+        try:
+            cost = jax.jit(grad_fn).lower(params).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            if cost:
+                tf = float(cost.get("flops", 0.0)) / 1e12
+        except Exception:
+            pass
+
+        row = {"prefix": label, "cumulative_ms": round(ms, 2),
+               "stage_ms": round(ms - prev_ms, 2)}
+        if tf is not None:
+            row["cumulative_tflop"] = round(tf, 3)
+            row["stage_tflop"] = round(tf - prev_tf, 3)
+            if row["stage_ms"] > 0:
+                achieved = (tf - prev_tf) / (row["stage_ms"] / 1e3)
+                row["stage_tflops_per_sec"] = round(achieved, 1)
+                row["stage_pct_of_peak"] = round(
+                    100.0 * achieved / V5E_BF16_PEAK_TFLOPS, 1
+                )
+            prev_tf = tf
+        prev_ms = ms
+        rows.append(row)
+        print(json.dumps(row))
+    return {"frames": N, "rows": rows}
+
+
+def exp_stem_micro(args):
+    """Standalone stem-conv formulations at flagship shapes (bf16,
+    forward-only and forward+filter-grad):
+
+      conv        lax 7x7/s2 conv as XLA emits it
+      patches     im2col via conv_general_dilated_patches + one
+                  [M,147]@[147,64] matmul (MXU-shaped equivalent)
+
+    If 'patches' lands significantly under 'conv', the stem is
+    tiling-bound in Mosaic's native 3-channel conv path and a
+    re-formulated stem is worth adopting."""
+    import jax
+    import jax.numpy as jnp
+
+    N, H, W = args.stage_frames, 116, 116
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(N, H, W, 3).astype(np.float32), jnp.bfloat16)
+    w = jnp.asarray(
+        rng.randn(7, 7, 3, 64).astype(np.float32) * 0.05, jnp.bfloat16
+    )
+
+    def conv_fwd(w, x):
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=(2, 2), padding=((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    def patches_fwd(w, x):
+        p = jax.lax.conv_general_dilated_patches(
+            x, (7, 7), (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # [N, 58, 58, 147]
+        wm = w.transpose(2, 0, 1, 3).reshape(147, 64)
+        return p @ wm
+
+    def time_fn(fn, *xs):
+        @functools.partial(jax.jit, static_argnames="n")
+        def chain(w, x, n):
+            def body(_, acc):
+                out = fn(w, x + acc * jnp.bfloat16(1e-30))
+                return jnp.sum(out.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            return jax.lax.fori_loop(0, n, body, jnp.bfloat16(0.0))
+
+        n_s, n_l = 1, args.stage_n_long
+        float(chain(*xs, n_s))
+        float(chain(*xs, n_l))
+        t0 = time.perf_counter()
+        float(chain(*xs, n_s))
+        ts = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(chain(*xs, n_l))
+        tl = time.perf_counter() - t0
+        return (tl - ts) / (n_l - n_s) * 1e3
+
+    result = {}
+    result["conv_fwd_ms"] = round(time_fn(conv_fwd, w, x), 2)
+    result["patches_fwd_ms"] = round(time_fn(patches_fwd, w, x), 2)
+
+    # fwd + filter-grad (the real step's stem backward has no data-grad)
+    def conv_fg(w, x):
+        return jax.grad(
+            lambda w: jnp.sum(conv_fwd(w, x).astype(jnp.float32))
+        )(w)
+
+    def patches_fg(w, x):
+        return jax.grad(
+            lambda w: jnp.sum(patches_fwd(w, x).astype(jnp.float32))
+        )(w)
+
+    result["conv_fwd_wgrad_ms"] = round(time_fn(conv_fg, w, x), 2)
+    result["patches_fwd_wgrad_ms"] = round(time_fn(patches_fg, w, x), 2)
+    # theoretical: fwd 0.194 TFLOP; bandwidth floor ~2.2 GB moved
+    result["fwd_tflop"] = 0.194
+    return result
+
+
+EXPERIMENTS = {
+    "baseline": exp_baseline,
+    "bn_frozen": exp_bn_frozen,
+    "stem_pad8": exp_stem_pad8,
+    "trunk_stages": exp_trunk_stages,
+    "trunk_stages_pchain": exp_trunk_stages_pchain,
+    "stem_micro": exp_stem_micro,
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--exps", default="baseline",
+                   help=f"comma list of {sorted(EXPERIMENTS)}")
+    p.add_argument("--out", default="/tmp/mfu_campaign.json")
+    p.add_argument("--tag", default="",
+                   help="suffix for result names (flag-sweep runs)")
+    p.add_argument("--n_long", type=int, default=6)
+    p.add_argument("--stage_frames", type=int, default=3072)
+    p.add_argument("--stage_n_long", type=int, default=6)
+    args = p.parse_args(argv)
+
+    from robot_manipulation_vq_vae_tpu.utils.train_utils import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
+    for name in args.exps.split(","):
+        name = name.strip()
+        fn = EXPERIMENTS[name]
+        t0 = time.perf_counter()
+        result = fn(args)
+        result["wall_sec"] = round(time.perf_counter() - t0, 1)
+        key = f"{name}+{args.tag}" if args.tag else name
+        _append_result(args.out, key, result)
+
+
+if __name__ == "__main__":
+    main()
