@@ -122,6 +122,11 @@ class _ResNet18Stem(nn.Module):
         )(x)
         x = nn.BatchNorm(use_running_average=not train, name="bn1")(x)
         x = nn.relu(x)
+        # nn.max_pool's SelectAndScatter backward is the single most
+        # expensive non-conv op in the trunk (11.2 ms at flagship shapes),
+        # but it SURVIVED a five-formulation replacement campaign — every
+        # alternative measured slower or OOMed (docs/design.md §4,
+        # ops/pool.py keeps the best challenger + numbers)
         return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
 

@@ -413,6 +413,164 @@ def exp_stem_micro(args):
     return result
 
 
+def exp_stem_epilogue_micro(args):
+    """The stem's non-conv part — train-mode BatchNorm + ReLU + 3x3/s2
+    maxpool — in isolation at stem-activation shape ([3072, 58, 58, 64]
+    bf16, 1.32 GB/pass). trunk_stages_pchain showed the whole stem at
+    25.6 ms with the conv accounting for only ~5.4 (stem_micro): this
+    measures how far the remaining ~20 ms sits above the bandwidth floor
+    (v5e ~819 GB/s), i.e. the ceiling for a fused epilogue kernel."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    N, H, W, C = args.stage_frames, 58, 58, 64
+    rng = np.random.RandomState(0)
+    y0 = jnp.asarray(rng.randn(N, H, W, C).astype(np.float32), jnp.bfloat16)
+
+    class Epilogue(nn.Module):
+        @nn.compact
+        def __call__(self, y, train=True):
+            y = nn.BatchNorm(use_running_average=not train, name="bn")(y)
+            y = nn.relu(y)
+            return nn.max_pool(
+                y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+            )
+
+    model = Epilogue()
+    variables = model.init(jax.random.PRNGKey(0), y0, train=False)
+    params = variables["params"]
+    batch_stats = variables["batch_stats"]
+
+    def fwd(p, y):
+        return model.apply(
+            {"params": p, "batch_stats": batch_stats}, y, train=True,
+            mutable=["batch_stats"],
+        )[0]
+
+    def fwd_bwd(p, y):
+        def loss(p, y):
+            return jnp.sum(fwd(p, y).astype(jnp.float32))
+
+        return jax.grad(loss, argnums=(0, 1))(p, y)
+
+    def time_fn(fn):
+        @functools.partial(jax.jit, static_argnames="n")
+        def chain(p, y, n):
+            def body(_, acc):
+                out = fn(p, y + acc * jnp.bfloat16(1e-30))
+                return sum(
+                    jnp.sum(le.astype(jnp.float32))
+                    for le in jax.tree_util.tree_leaves(out)
+                ).astype(jnp.bfloat16)
+
+            return jax.lax.fori_loop(0, n, body, jnp.bfloat16(0.0))
+
+        n_s, n_l = 1, args.stage_n_long
+        float(chain(params, y0, n_s))
+        float(chain(params, y0, n_l))
+        t0 = time.perf_counter()
+        float(chain(params, y0, n_s))
+        ts = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(chain(params, y0, n_l))
+        tl = time.perf_counter() - t0
+        return (tl - ts) / (n_l - n_s) * 1e3
+
+    gb = N * H * W * C * 2 / 1e9
+    result = {
+        "fwd_ms": round(time_fn(fwd), 2),
+        "fwd_bwd_ms": round(time_fn(fwd_bwd), 2),
+        "activation_gb_per_pass": round(gb, 3),
+        # fwd floor: stats read + normalize read/write (pool write is 4x
+        # smaller); bwd floor: ~3 more passes
+        "fwd_bandwidth_floor_ms": round(gb * 2.25 / 819.0 * 1e3, 2),
+    }
+    return result
+
+
+def exp_epilogue_decomp(args):
+    """Decompose the epilogue backward cost: BN+ReLU alone vs maxpool
+    alone vs a SelectAndScatter-free maxpool backward (9-tap
+    equality-routing via custom_vjp) at stem-activation shape."""
+    import jax
+    import jax.numpy as jnp
+
+    N, H, W, C = args.stage_frames, 58, 58, 64
+    rng = np.random.RandomState(0)
+    y0 = jnp.asarray(rng.randn(N, H, W, C).astype(np.float32), jnp.bfloat16)
+    gamma = jnp.ones((C,), jnp.float32)
+    beta = jnp.zeros((C,), jnp.float32)
+
+    def bn_relu(g, b, y):
+        yf = y.astype(jnp.float32)
+        mean = jnp.mean(yf, axis=(0, 1, 2))
+        var = jnp.mean(yf * yf, axis=(0, 1, 2)) - mean * mean
+        xhat = (yf - mean) * jax.lax.rsqrt(var + 1e-5)
+        return jnp.maximum((g * xhat + b).astype(jnp.bfloat16), 0)
+
+    def pool(y):
+        # init must be the PYTHON -inf scalar (not a traced array) for JAX
+        # to lower the differentiable reduce-window-max path
+        return jax.lax.reduce_window(
+            y, -jnp.inf, jax.lax.max,
+            (1, 3, 3, 1), (1, 2, 2, 1), ((0, 0), (1, 1), (1, 1), (0, 0)),
+        )
+
+    from robot_manipulation_vq_vae_tpu.ops.pool import max_pool_3x3_s2
+
+    def time_fn(fn, *consts):
+        @functools.partial(jax.jit, static_argnames="n")
+        def chain(y, n):
+            def body(_, acc):
+                out = fn(*consts, y + acc * jnp.bfloat16(1e-30))
+                return sum(
+                    jnp.sum(le.astype(jnp.float32))
+                    for le in jax.tree_util.tree_leaves(out)
+                ).astype(jnp.bfloat16)
+
+            return jax.lax.fori_loop(0, n, body, jnp.bfloat16(0.0))
+
+        n_s, n_l = 1, args.stage_n_long
+        float(chain(y0, n_s))
+        float(chain(y0, n_l))
+        t0 = time.perf_counter()
+        float(chain(y0, n_s))
+        ts = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(chain(y0, n_l))
+        tl = time.perf_counter() - t0
+        return (tl - ts) / (n_l - n_s) * 1e3
+
+    def bwd_of(fn, argnums):
+        def g(*a):
+            return jax.grad(
+                lambda *aa: jnp.sum(fn(*aa).astype(jnp.float32)),
+                argnums=argnums,
+            )(*a)
+
+        return g
+
+    result = {}
+    measurements = [
+        ("bn_relu_fwd_ms", lambda: time_fn(bn_relu, gamma, beta)),
+        ("bn_relu_fwd_bwd_ms",
+         lambda: time_fn(bwd_of(bn_relu, (0, 1, 2)), gamma, beta)),
+        ("maxpool_fwd_ms", lambda: time_fn(pool)),
+        ("maxpool_fwd_bwd_ms", lambda: time_fn(bwd_of(pool, 0))),
+        ("maxpool9tap_fwd_ms", lambda: time_fn(max_pool_3x3_s2)),
+        ("maxpool9tap_fwd_bwd_ms",
+         lambda: time_fn(bwd_of(max_pool_3x3_s2, 0))),
+    ]
+    for key, fn in measurements:
+        try:
+            result[key] = round(fn(), 2)
+        except Exception as e:  # e.g. SelectAndScatter chain OOMs compile
+            result[key] = f"failed: {type(e).__name__}"[:80]
+        print(key, result[key])
+    return result
+
+
 EXPERIMENTS = {
     "baseline": exp_baseline,
     "bn_frozen": exp_bn_frozen,
@@ -420,6 +578,8 @@ EXPERIMENTS = {
     "trunk_stages": exp_trunk_stages,
     "trunk_stages_pchain": exp_trunk_stages_pchain,
     "stem_micro": exp_stem_micro,
+    "stem_epilogue_micro": exp_stem_epilogue_micro,
+    "epilogue_decomp": exp_epilogue_decomp,
 }
 
 
