@@ -60,15 +60,19 @@ def _spawn_flagship():
 
 def _harvest_flagship(child, out_f, err_f, result_path, deadline, result):
     """Wait for the flagship child until `deadline` (absolute
-    time.perf_counter() value), then merge its fields into `result`."""
+    time.perf_counter() value), then merge its fields into `result`.
+    Polls instead of blocking to the deadline, so a fast compile leaves
+    budget for the opportunistic inference leg."""
     keep_files = False
     try:
-        try:
-            rc = child.wait(timeout=max(deadline - time.perf_counter(), 30.0))
-        except subprocess.TimeoutExpired:
-            os.killpg(child.pid, signal.SIGKILL)
-            child.wait()
-            raise
+        hard_deadline = max(deadline, time.perf_counter() + 30.0)
+        while child.poll() is None:
+            if time.perf_counter() >= hard_deadline:
+                os.killpg(child.pid, signal.SIGKILL)
+                child.wait()
+                raise subprocess.TimeoutExpired(cmd="bench_train", timeout=0)
+            time.sleep(2.0)
+        rc = child.returncode
         if rc == 3:
             return  # CPU backend: flagship deliberately skipped
         flagship = None
@@ -116,15 +120,85 @@ def _harvest_flagship(child, out_f, err_f, result_path, deadline, result):
                     pass
 
 
+_STATE = {"result": {}, "printed": False, "child_result_path": None,
+           "child": None}
+
+
+def _emit(result):
+    if not _STATE["printed"]:
+        _STATE["printed"] = True
+        print(json.dumps(result), flush=True)
+
+
+def _watchdog(deadline_monotonic):
+    """Guarantee ONE JSON line before the driver's timeout even if the main
+    thread is stuck inside a blocking XLA compile (the compile service
+    serializes the parent's and the flagship child's compiles, so a slow
+    day can pin the main thread past the budget). Harvests the child's
+    result file so the flagship numbers land regardless."""
+    import threading
+
+    def run():
+        while time.perf_counter() < deadline_monotonic:
+            if _STATE["printed"]:
+                return
+            time.sleep(1.0)
+        if _STATE["printed"]:
+            return
+        result = dict(_STATE["result"])
+        path = _STATE["child_result_path"]
+        try:
+            if path and os.path.exists(path):
+                with open(path) as f:
+                    flagship = json.load(f)
+                result["flagship_train_steps_per_sec"] = flagship["value"]
+                result["flagship_samples_per_sec"] = (
+                    flagship["samples_per_sec"]
+                )
+                result["flagship_compile_sec"] = flagship["compile_sec"]
+                result["flagship_mixed_precision"] = (
+                    flagship["mixed_precision"]
+                )
+                if "tflops_per_sec" in flagship:
+                    result["flagship_tflops_per_sec"] = (
+                        flagship["tflops_per_sec"]
+                    )
+        except Exception:
+            pass
+        result.setdefault(
+            "metric", "lipvq_tokenize_detokenize_throughput"
+        )
+        result.setdefault("value", None)
+        result.setdefault("unit", "chunks/sec/chip")
+        result.setdefault("vs_baseline", None)
+        result["watchdog"] = (
+            "main thread still compiling at deadline; partial results"
+        )
+        _emit(result)
+        child = _STATE["child"]
+        if child is not None and child.poll() is None:
+            try:
+                os.killpg(child.pid, signal.SIGKILL)
+            except OSError:
+                pass
+        os._exit(0)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+
+
 def main():
     bench_start = time.perf_counter()
     budget = float(os.environ.get("RMVQ_BENCH_BUDGET_SEC", "560"))
+    _watchdog(bench_start + budget - 5.0)
 
     # (3) flagship child at t=0 — before the parent touches JAX — so its
     # 150-300 s compile overlaps the whole tokenizer bench below.
     child = None
     if os.environ.get("RMVQ_BENCH_FLAGSHIP", "1") == "1":
         child, out_f, err_f, result_path = _spawn_flagship()
+        _STATE["child"] = child
+        _STATE["child_result_path"] = result_path
 
     import jax
     import jax.numpy as jnp
@@ -177,10 +251,6 @@ def main():
         x_chk = jnp.asarray(
             np.random.RandomState(7).randn(4096, FEATURE_DIM).astype(np.float32)
         )
-        recon_f, idx_f = jax.jit(
-            lambda v, x: model.apply(v, x, method=model.roundtrip_fused)
-        )(chk_vars, x_chk)
-
         def xla_reference(v, x):
             """Same math as the fused kernel (incl. tanh-GELU) in plain XLA,
             so any disagreement is Pallas codegen, not the documented
@@ -201,7 +271,15 @@ def main():
             d = g(d @ p["dec2"]["kernel"] + p["dec2"]["bias"])
             return d @ p["to_output"]["kernel"] + p["to_output"]["bias"], idx
 
-        recon_x, idx_x = jax.jit(xla_reference)(chk_vars, x_chk)
+        # ONE compiled program for fused + reference: the compile service
+        # serializes our compiles with the flagship child's, so every
+        # program saved here is budget handed to the child
+        recon_f, idx_f, recon_x, idx_x = jax.jit(
+            lambda v, x: (
+                *model.apply(v, x, method=model.roundtrip_fused),
+                *xla_reference(v, x),
+            )
+        )(chk_vars, x_chk)
         idx_mismatch = int(jnp.sum(idx_f != idx_x))
         agree = (idx_f == idx_x)[:, None]
         pallas_max_err = float(
@@ -217,13 +295,13 @@ def main():
             f"tolerance 5e-3 on assignment-agreeing rows"
         )
 
-    import functools
-
-    @functools.partial(jax.jit, static_argnames="n")
+    @jax.jit
     def chain(v, x, n):
         """n chained roundtrips ON DEVICE (lax.fori_loop): one dispatch, one
         scalar fetch - immune to per-call RPC jitter on tunneled backends.
-        Feeding the reconstruction back as input serializes iterations."""
+        Feeding the reconstruction back as input serializes iterations.
+        n is TRACED (dynamic trip count) so both chain lengths share one
+        compiled program — compile time is budget shared with the child."""
 
         def body(_, y):
             recon, _ = model.apply(v, y, method=method)
@@ -239,7 +317,7 @@ def main():
     # timer noise after differencing) without the compile+execute cost the
     # old 401-iteration chain paid out of the child's budget.
     n_short, n_long = (1, 5) if not on_tpu else (1, 101)
-    # warmup/compile both trip counts
+    # warmup (one compile serves both trip counts)
     float(chain(variables, x, n_short))
     float(chain(variables, x, n_long))
 
@@ -260,12 +338,60 @@ def main():
     }
     if pallas_max_err is not None:
         result["pallas_recon_max_err"] = round(pallas_max_err, 6)
+    _STATE["result"] = dict(result)  # visible to the deadline watchdog
 
     if child is not None:
         # leave ~10s of the budget for harvest + print
         deadline = bench_start + budget - 10.0
         _harvest_flagship(child, out_f, err_f, result_path, deadline, result)
-    print(json.dumps(result))
+        # opportunistic serving-latency leg: only when the flagship landed
+        # early enough that a get_action compile (~90-200 s) can fit in the
+        # leftover budget; skipped silently otherwise (stretch metric — the
+        # flagship number must never be jeopardized)
+        if (
+            "flagship_train_steps_per_sec" in result
+            and deadline - time.perf_counter() > 120.0
+        ):
+            _run_infer_leg(deadline, result)
+    _emit(result)
+
+
+def _run_infer_leg(deadline, result):
+    infer_path = None
+    try:
+        fd, infer_path = tempfile.mkstemp(suffix=".infer.json")
+        os.close(fd)
+        os.unlink(infer_path)  # child creates it on success
+        with open(os.devnull, "w") as devnull:
+            child = subprocess.Popen(
+                [sys.executable, os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "bench_infer.py",
+                )],
+                env={**os.environ, "RMVQ_BF16": "1",
+                     "RMVQ_INFER_BATCHES": "1",
+                     "RMVQ_RESULT_FILE": infer_path},
+                stdout=devnull, stderr=devnull, start_new_session=True,
+            )
+            while child.poll() is None:
+                if time.perf_counter() >= deadline:
+                    os.killpg(child.pid, signal.SIGKILL)
+                    child.wait()
+                    break
+                time.sleep(2.0)
+        if os.path.exists(infer_path):
+            with open(infer_path) as f:
+                infer = json.load(f)[0]  # batch 1
+            result["flagship_get_action_ms"] = infer["value"]
+            result["flagship_get_action_compile_sec"] = infer["compile_sec"]
+    except Exception:
+        pass  # best-effort: never disturb the primary fields
+    finally:
+        if infer_path:
+            try:
+                os.unlink(infer_path)
+            except OSError:
+                pass
 
 
 if __name__ == "__main__":

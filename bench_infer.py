@@ -78,6 +78,7 @@ def main(batch_sizes=(1, 16), mixed_precision=False):
         "icl", config, obs_key_shapes=obs_key_shapes, ac_dim=A
     )
 
+    results = []
     for b in batch_sizes:
         key = jax.random.PRNGKey(0)
         obs = {}
@@ -111,15 +112,31 @@ def main(batch_sizes=(1, 16), mixed_precision=False):
             out = algo.get_action(obs, context_batch=ctx)
         np.asarray(out)  # in-order execution: syncs the whole chain
         dt = (time.perf_counter() - t0) / n
-        print(json.dumps({
+        result = {
             "metric": "icl_hvqvae_get_action_latency",
             "value": round(dt * 1e3, 3),
             "unit": f"ms/call (batch {b})",
+            "batch": b,
             "actions_per_sec": round(b / dt, 1),
             "compile_sec": round(compile_sec, 1),
             "mixed_precision": bool(mixed_precision),
-        }))
+        }
+        results.append(result)
+        # flush each batch size to the result file as soon as measured, so
+        # a deadline kill from the bench harness still captures batch 1
+        path = os.environ.get("RMVQ_RESULT_FILE")
+        if path:
+            with open(path, "w") as f:
+                json.dump(results, f)
+        print(json.dumps(result))
+    return results
 
 
 if __name__ == "__main__":
-    main(mixed_precision=os.environ.get("RMVQ_BF16", "0") == "1")
+    batches = tuple(
+        int(b) for b in os.environ.get("RMVQ_INFER_BATCHES", "1,16").split(",")
+    )
+    main(
+        batch_sizes=batches,
+        mixed_precision=os.environ.get("RMVQ_BF16", "0") == "1",
+    )

@@ -13,7 +13,8 @@ import os
 import time
 
 
-def measure(mixed_precision=False, batch_size=64, n_long=11):
+def measure(mixed_precision=False, batch_size=64, n_long=11,
+            frozen_batch_norm=False):
     """Measure flagship train-step throughput; returns the result dict."""
     import jax
     import jax.numpy as jnp
@@ -76,6 +77,7 @@ def measure(mixed_precision=False, batch_size=64, n_long=11):
         config.train.batch_size = B
         config.train.max_grad_norm = 100.0
         config.train.mixed_precision = mixed_precision
+        config.train.frozen_batch_norm = frozen_batch_norm
     config.lock()
     ObsUtils.initialize_obs_utils_with_config(config)
 
@@ -148,6 +150,10 @@ def measure(mixed_precision=False, batch_size=64, n_long=11):
         "compile_sec": round(compile_time, 1),
         "mixed_precision": bool(mixed_precision),
     }
+    if frozen_batch_norm:
+        # opt-in speed mode (config.train.frozen_batch_norm) — flagged so a
+        # recorded number is never mistaken for reference-semantics BN
+        result["frozen_batch_norm"] = True
     if step_flops:
         result["tflops_per_sec"] = round(step_flops * steps_per_sec / 1e12, 1)
     return result
@@ -172,6 +178,7 @@ if __name__ == "__main__":
         mixed_precision=mp,
         batch_size=int(os.environ.get("RMVQ_BATCH", "64")),
         n_long=int(os.environ.get("RMVQ_NLONG", "6")),
+        frozen_batch_norm=os.environ.get("RMVQ_BN_FROZEN", "0") == "1",
     )
     # write to a result file as soon as measured (more robust than stdout
     # harvesting if the parent kills us between print and flush)

@@ -98,6 +98,18 @@ class Algo:
         self._jit_cache = {}
         self._training = True
 
+        # opt-in frozen-stats BatchNorm speed mode (+17% flagship step,
+        # docs/design.md §4); must be set BEFORE any network is traced.
+        # Set unconditionally so each construction pins its own value
+        # (process-global — the last constructed algo wins).
+        from robot_manipulation_vq_vae_tpu.models.base_nets import (
+            set_frozen_batch_norm,
+        )
+
+        set_frozen_batch_norm(
+            bool(global_config.train.get("frozen_batch_norm", False))
+        )
+
         self._create_shapes(obs_config.modalities, obs_key_shapes)
         self._create_networks()
         self._create_optimizers()

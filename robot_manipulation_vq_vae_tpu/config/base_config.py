@@ -154,6 +154,11 @@ class BaseConfig(Config, metaclass=ConfigMeta):
         # (params master copy, optimizer math, losses, and VQ codebooks stay
         # float32). ~2x MXU/conv rate on v5e vs float32.
         self.train.mixed_precision = False
+        # Opt-in speed mode: BatchNorm normalizes with running statistics
+        # even during training (+17% flagship step throughput on v5e,
+        # docs/design.md §4). DIVERGES from the reference's train-mode BN
+        # (running stats stop updating) — off by default.
+        self.train.frozen_batch_norm = False
 
     def algo_config(self):
         """Populated by subclasses."""
