@@ -14,7 +14,7 @@ import time
 
 
 def measure(mixed_precision=False, batch_size=64, n_long=11,
-            frozen_batch_norm=False):
+            frozen_batch_norm=False, pool_free_stem=False):
     """Measure flagship train-step throughput; returns the result dict."""
     import jax
     import jax.numpy as jnp
@@ -78,6 +78,7 @@ def measure(mixed_precision=False, batch_size=64, n_long=11,
         config.train.max_grad_norm = 100.0
         config.train.mixed_precision = mixed_precision
         config.train.frozen_batch_norm = frozen_batch_norm
+        config.train.pool_free_stem = pool_free_stem
     config.lock()
     ObsUtils.initialize_obs_utils_with_config(config)
 
@@ -154,6 +155,8 @@ def measure(mixed_precision=False, batch_size=64, n_long=11,
         # opt-in speed mode (config.train.frozen_batch_norm) — flagged so a
         # recorded number is never mistaken for reference-semantics BN
         result["frozen_batch_norm"] = True
+    if pool_free_stem:
+        result["pool_free_stem"] = True  # ditto (config.train.pool_free_stem)
     if step_flops:
         result["tflops_per_sec"] = round(step_flops * steps_per_sec / 1e12, 1)
     return result
@@ -179,6 +182,7 @@ if __name__ == "__main__":
         batch_size=int(os.environ.get("RMVQ_BATCH", "64")),
         n_long=int(os.environ.get("RMVQ_NLONG", "6")),
         frozen_batch_norm=os.environ.get("RMVQ_BN_FROZEN", "0") == "1",
+        pool_free_stem=os.environ.get("RMVQ_POOL_FREE", "0") == "1",
     )
     # write to a result file as soon as measured (more robust than stdout
     # harvesting if the parent kills us between print and flush)

@@ -98,16 +98,20 @@ class Algo:
         self._jit_cache = {}
         self._training = True
 
-        # opt-in frozen-stats BatchNorm speed mode (+17% flagship step,
+        # opt-in speed modes (frozen-stats BN +17%, pool-free stem —
         # docs/design.md §4); must be set BEFORE any network is traced.
-        # Set unconditionally so each construction pins its own value
+        # Set unconditionally so each construction pins its own values
         # (process-global — the last constructed algo wins).
         from robot_manipulation_vq_vae_tpu.models.base_nets import (
             set_frozen_batch_norm,
+            set_pool_free_stem,
         )
 
         set_frozen_batch_norm(
             bool(global_config.train.get("frozen_batch_norm", False))
+        )
+        set_pool_free_stem(
+            bool(global_config.train.get("pool_free_stem", False))
         )
 
         self._create_shapes(obs_config.modalities, obs_key_shapes)

@@ -159,6 +159,12 @@ class BaseConfig(Config, metaclass=ConfigMeta):
         # docs/design.md §4). DIVERGES from the reference's train-mode BN
         # (running stats stop updating) — off by default.
         self.train.frozen_batch_norm = False
+        # Opt-in speed mode: collapse the ResNet stem's 7x7/s2 conv +
+        # 3x3/s2 maxpool into one 7x7/s4 conv (same params, same output
+        # shape; removes maxpool's 11.2 ms SelectAndScatter backward,
+        # docs/design.md §4). DIVERGES from torchvision stem features —
+        # off by default.
+        self.train.pool_free_stem = False
 
     def algo_config(self):
         """Populated by subclasses."""

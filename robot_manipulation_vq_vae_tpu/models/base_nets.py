@@ -43,6 +43,25 @@ def _bn_train(train):
     return train and not _FROZEN_BATCH_NORM
 
 
+# Opt-in pool-free stem (`config.train.pool_free_stem`): the ResNet stem's
+# 7x7/s2 conv + 3x3/s2 maxpool collapse into one 7x7/s4 conv. Parameter
+# shapes are untouched and the output spatial shape is IDENTICAL for every
+# input size (both compute floor((H-1)/4)+1), but the features diverge
+# (subsampled conv vs max over a 2x2 window of stride-2 positions), so it
+# is off by default and never used in parity tests. It removes the
+# trunk's most wasteful op — maxpool backward's 11.2 ms SelectAndScatter,
+# which survived a five-formulation replacement campaign (design.md §4) —
+# plus 3/4 of the conv1/bn1 activation traffic.
+_POOL_FREE_STEM = False
+
+
+def set_pool_free_stem(enabled):
+    """Enable/disable the pool-free stride-4 stem for subsequently TRACED
+    models (called from Algo construction off config.train.pool_free_stem)."""
+    global _POOL_FREE_STEM
+    _POOL_FREE_STEM = bool(enabled)
+
+
 def transformer_args_from_config(transformer_config):
     """Map ``algo.transformer.*`` config keys to network kwargs, including the
     four tokenizer-modality flags (reference ``base_nets.py:41-70``)."""
@@ -138,12 +157,18 @@ class _ResNet18Stem(nn.Module):
     def __call__(self, x, train=False):
         if self.coord_conv:
             x = add_coord_channels(x)
+        stride = 4 if _POOL_FREE_STEM else 2
         x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+            64, (7, 7), strides=(stride, stride), padding=((3, 3), (3, 3)),
             use_bias=False, name="conv1",
         )(x)
         x = nn.BatchNorm(use_running_average=not _bn_train(train), name="bn1")(x)
         x = nn.relu(x)
+        if _POOL_FREE_STEM:
+            # opt-in speed mode: stride-4 conv already lands on the pooled
+            # grid (floor((H-1)/4)+1 — identical output shape), so the pool
+            # and its 11.2 ms SelectAndScatter backward vanish entirely
+            return x
         # nn.max_pool's SelectAndScatter backward is the single most
         # expensive non-conv op in the trunk (11.2 ms at flagship shapes),
         # but it SURVIVED a five-formulation replacement campaign — every

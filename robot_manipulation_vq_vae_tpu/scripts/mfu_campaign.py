@@ -76,6 +76,27 @@ def exp_bn_frozen(args):
     )
 
 
+def exp_pool_free(args):
+    """Stride-4 stem, no maxpool — the shipping opt-in
+    ``config.train.pool_free_stem``; also its hardware regression check."""
+    import bench_train
+
+    return bench_train.measure(
+        mixed_precision=True, batch_size=64, n_long=args.n_long,
+        pool_free_stem=True,
+    )
+
+
+def exp_pool_free_bn_frozen(args):
+    """Both opt-in speed modes together (the shipped fast path)."""
+    import bench_train
+
+    return bench_train.measure(
+        mixed_precision=True, batch_size=64, n_long=args.n_long,
+        frozen_batch_norm=True, pool_free_stem=True,
+    )
+
+
 def exp_stem_pad8(args):
     """Zero-pad the stem input 3->8 channels; flax shape inference gives
     conv1 a 7x7x8x64 kernel (same math: pad channels multiply zero
@@ -566,6 +587,8 @@ def exp_epilogue_decomp(args):
 EXPERIMENTS = {
     "baseline": exp_baseline,
     "bn_frozen": exp_bn_frozen,
+    "pool_free": exp_pool_free,
+    "pool_free_bn_frozen": exp_pool_free_bn_frozen,
     "stem_pad8": exp_stem_pad8,
     "trunk_stages": exp_trunk_stages,
     "trunk_stages_pchain": exp_trunk_stages_pchain,
