@@ -95,12 +95,17 @@ class Conv1dBlock(nn.Module):
             self.features, (self.kernel_size,),
             padding=self.kernel_size // 2, name="conv",
         )(x)
-        x = nn.GroupNorm(num_groups=self.n_groups, name="gn")(x)
+        # epsilon matches torch.nn.GroupNorm's 1e-5 (flax defaults to 1e-6)
+        x = nn.GroupNorm(num_groups=self.n_groups, epsilon=1e-5, name="gn")(x)
         return mish(x)
 
 
 class ConditionalResBlock1d(nn.Module):
-    """Two conv blocks with FiLM conditioning + residual."""
+    """Two conv blocks with FiLM conditioning + residual (reference
+    ``ConditionalResidualBlock1D``, diffusion_policy.py:520-565: FiLM is
+    ``scale * h + bias`` with scale/bias the first/second half of the
+    cond projection, and the residual 1x1 conv appears only on a channel
+    change)."""
 
     features: int
     kernel_size: int = 5
@@ -112,7 +117,7 @@ class ConditionalResBlock1d(nn.Module):
                         name="block1")(x)
         film = nn.Dense(2 * self.features, name="cond_proj")(mish(cond))
         scale, bias = jnp.split(film[:, None, :], 2, axis=-1)
-        h = h * (1.0 + scale) + bias
+        h = scale * h + bias
         h = Conv1dBlock(self.features, self.kernel_size, self.n_groups,
                         name="block2")(h)
         if x.shape[-1] != self.features:
@@ -122,7 +127,18 @@ class ConditionalResBlock1d(nn.Module):
 
 class ConditionalUnet1D(nn.Module):
     """UNet over the action-sequence time axis, FiLM-conditioned on
-    (diffusion timestep embedding, obs features)."""
+    (diffusion timestep embedding, obs features).
+
+    Structurally weight-for-weight with the reference ``ConditionalUnet1D``
+    (diffusion_policy.py:567-742, the original diffusion-policy denoiser):
+    per-level strided-conv downsamples, learned ConvTranspose1d(4,2,1)
+    upsamples, and an up path of ``len(down_dims) - 1`` levels — the
+    SHALLOWEST skip is computed and then discarded, a quirk of the
+    original implementation (``reversed(in_out[1:])``) reproduced here so
+    parameters and activations correspond 1:1 (forward + optimizer
+    trajectory parity in ``tests/test_diffusion_parity.py``). The
+    sequence length must be divisible by ``2 ** (len(down_dims) - 1)``
+    (same implicit constraint as the reference)."""
 
     action_dim: int
     down_dims: Tuple[int, ...] = (256, 512, 1024)
@@ -133,6 +149,10 @@ class ConditionalUnet1D(nn.Module):
     @nn.compact
     def __call__(self, x, t, global_cond):
         """x [B, T, A]; t [B] int; global_cond [B, D] -> eps [B, T, A]."""
+        assert x.shape[1] % (2 ** (len(self.down_dims) - 1)) == 0, (
+            f"sequence length {x.shape[1]} must be divisible by "
+            f"2**{len(self.down_dims) - 1} for the UNet skip alignment"
+        )
         temb = SinusoidalPosEmb(self.diffusion_step_embed_dim, name="pos_emb")(
             t.astype(jnp.float32)
         )
@@ -163,21 +183,26 @@ class ConditionalUnet1D(nn.Module):
             self.down_dims[-1], self.kernel_size, self.n_groups, name="mid2"
         )(h, cond)
 
-        for i, feat in reversed(list(enumerate(self.down_dims))):
-            skip = skips[i]
-            if h.shape[1] != skip.shape[1]:
-                # nearest-neighbor upsample to the skip's length
-                h = jax.image.resize(
-                    h, (h.shape[0], skip.shape[1], h.shape[2]), "nearest"
-                )
-            h = jnp.concatenate([h, skip], axis=-1)
+        # up path: levels mirror reversed(in_out[1:]) — each consumes the
+        # same-resolution skip and ends with a LEARNED 4/2/1 transposed
+        # conv; skips[0] is deliberately left unused (reference quirk)
+        for j, i in enumerate(range(len(self.down_dims) - 1, 0, -1)):
+            feat = self.down_dims[i - 1]
+            h = jnp.concatenate([h, skips[i]], axis=-1)
             h = ConditionalResBlock1d(
-                feat, self.kernel_size, self.n_groups, name=f"up{i}_r1"
+                feat, self.kernel_size, self.n_groups, name=f"up{j}_r1"
             )(h, cond)
             h = ConditionalResBlock1d(
-                feat, self.kernel_size, self.n_groups, name=f"up{i}_r2"
+                feat, self.kernel_size, self.n_groups, name=f"up{j}_r2"
             )(h, cond)
+            h = nn.ConvTranspose(
+                feat, (4,), strides=(2,), padding=((2, 2),),
+                transpose_kernel=True, name=f"up{j}_up",
+            )(h)
 
-        h = Conv1dBlock(self.down_dims[0], self.kernel_size, self.n_groups,
+        # reference quirk: final_conv's Conv1dBlock is built WITHOUT passing
+        # n_groups (diffusion_policy.py:674-677), so it always group-norms
+        # with the default 8 groups regardless of the configured n_groups
+        h = Conv1dBlock(self.down_dims[0], self.kernel_size, n_groups=8,
                         name="final_block")(h)
         return nn.Conv(self.action_dim, (1,), name="final_conv")(h)
