@@ -3,8 +3,12 @@
 DDPM/DDIM diffusion over action-sequence chunks, conditioned on the last
 ``observation_horizon`` encoded observations; receding-horizon execution
 (predict Tp steps, execute Ta). The denoiser is a FiLM-conditioned 1-D UNet
-(``models/diffusion_nets.py``); EMA weights are kept in the state and used
-for inference, matching the reference's EMAModel usage.
+(``models/diffusion_nets.py``); EMA weights are kept in the state with the
+diffusers warmup decay ``min((1+step)/(10+step), 0.9999)`` and the denoiser's
+EMA shadow is used for inference (the obs encoder deliberately is not — a
+reference quirk, see ``get_action``). The obs encoder's conv trunks use
+GroupNorm(C//16) instead of BatchNorm, the reference's ``replace_bn_with_gn``
+pass (diffusion_policy.py:64-67).
 """
 
 from collections import OrderedDict
@@ -46,12 +50,13 @@ class DiffusionPolicyUNet(PolicyAlgo):
 
         groups = {"obs": dict(self.obs_shapes)}
         self._group_spec = group_shapes_spec(groups)
+        enc_kwargs = self._gn_encoder_kwargs()
         self.nets["obs_encoder"] = ObservationGroupEncoder(
             observation_group_shapes=self._group_spec,
-            encoder_kwargs=_encoder_kwargs(self.obs_config),
+            encoder_kwargs=enc_kwargs,
         )
         self.obs_feat_dim = group_encoder_output_dim(
-            self._group_spec, _encoder_kwargs(self.obs_config)
+            self._group_spec, enc_kwargs
         )
         self.nets["policy"] = ConditionalUnet1D(
             action_dim=self.ac_dim,
@@ -61,16 +66,45 @@ class DiffusionPolicyUNet(PolicyAlgo):
             n_groups=cfg.unet.n_groups,
         )
         if cfg.ddpm.enabled:
-            self.schedule = DiffusionSchedule(cfg.ddpm.num_train_timesteps)
+            assert cfg.ddpm.get("prediction_type", "epsilon") == "epsilon"
+            self.schedule = DiffusionSchedule(
+                cfg.ddpm.num_train_timesteps,
+                beta_schedule=cfg.ddpm.get("beta_schedule", "squaredcos_cap_v2"),
+                clip_sample=cfg.ddpm.get("clip_sample", True),
+            )
             self.num_inference_steps = cfg.ddpm.num_inference_timesteps
             self.use_ddim = False
         else:
             assert cfg.ddim.enabled
-            self.schedule = DiffusionSchedule(cfg.ddim.num_train_timesteps)
+            assert cfg.ddim.get("prediction_type", "epsilon") == "epsilon"
+            self.schedule = DiffusionSchedule(
+                cfg.ddim.num_train_timesteps,
+                beta_schedule=cfg.ddim.get("beta_schedule", "squaredcos_cap_v2"),
+                clip_sample=cfg.ddim.get("clip_sample", True),
+                set_alpha_to_one=cfg.ddim.get("set_alpha_to_one", True),
+                steps_offset=cfg.ddim.get("steps_offset", 0),
+            )
             self.num_inference_steps = cfg.ddim.num_inference_timesteps
             self.use_ddim = True
         self.ema_enabled = cfg.ema.enabled
         self.ema_power = float(cfg.ema.get("power", 0.75))
+        self._action_check_done = False
+
+    def _gn_encoder_kwargs(self):
+        """Encoder kwargs with every torchvision-style trunk switched from
+        BatchNorm to GroupNorm(C//16) — the reference's ``replace_bn_with_gn``
+        pass over the whole obs encoder (diffusion_policy.py:64-67: "replace
+        all BatchNorm with GroupNorm to work with EMA; performance will tank
+        if you forget"). Backbones without a ``norm`` knob (R3M/MVP/Shallow)
+        are untouched, exactly like the reference's BatchNorm2d predicate."""
+        kwargs = _encoder_kwargs(self.obs_config)
+        for mod_cfg in kwargs.values():
+            core_kwargs = dict(mod_cfg.get("core_kwargs") or {})
+            bkw = dict(core_kwargs.get("backbone_kwargs") or {})
+            bkw["norm"] = "group"
+            core_kwargs["backbone_kwargs"] = bkw
+            mod_cfg["core_kwargs"] = core_kwargs
+        return kwargs
 
     def _create_optimizers(self):
         from robot_manipulation_vq_vae_tpu.utils import optim_utils as OptimUtils
@@ -84,13 +118,22 @@ class DiffusionPolicyUNet(PolicyAlgo):
 
     def process_batch_for_training(self, batch):
         """obs[:, :To], actions[:, :Tp] (reference diffusion_policy.py:139-178)."""
+        actions = np.asarray(batch["actions"])[:, : self.Tp]
+        # one-time [-1, 1] range check (reference diffusion_policy.py:151-159)
+        if not self._action_check_done:
+            if not bool(np.all((actions >= -1) & (actions <= 1))):
+                raise ValueError(
+                    '"actions" must be in range [-1,1] for Diffusion Policy! '
+                    "Check if hdf5_normalize_action is enabled."
+                )
+            self._action_check_done = True
         return {
             "obs": {
                 k: np.asarray(v)[:, : self.To]
                 for k, v in batch["obs"].items()
             },
             "goal_obs": batch.get("goal_obs", None),
-            "actions": np.asarray(batch["actions"])[:, : self.Tp],
+            "actions": actions,
         }
 
     def _init_variables(self, rng, batch):
@@ -233,33 +276,37 @@ class DiffusionPolicyUNet(PolicyAlgo):
         b = cond.shape[0]
         x = jax.random.normal(rng, (b, self.Tp, self.ac_dim))
         sched = self.schedule
-        n_inf = self.num_inference_steps
-        n_train = sched.num_train_timesteps
-
-        if self.use_ddim:
-            ts = jnp.linspace(n_train - 1, 0, n_inf).astype(jnp.int32)
-            for i in range(n_inf):
-                t = ts[i]
-                t_prev = ts[i + 1] if i + 1 < n_inf else -1
-                eps = policy.apply(
-                    {"params": pol_params, **pol_aux},
-                    x, jnp.full((b,), t), cond,
-                )
-                x = sched.ddim_step(x, eps, t, t_prev)
-        else:
-            for t in range(n_train - 1, -1, -1):
+        # diffusers set_timesteps grid + prev_t = t - stride, for BOTH
+        # schedulers (the reference calls set_timesteps(num_inference) on
+        # DDPM too, diffusion_policy.py:360)
+        ts = sched.inference_timesteps(self.num_inference_steps,
+                                       ddim=self.use_ddim)
+        stride = sched.num_train_timesteps // min(
+            self.num_inference_steps, sched.num_train_timesteps
+        )
+        for t in ts:
+            t = int(t)
+            eps = policy.apply(
+                {"params": pol_params, **pol_aux},
+                x, jnp.full((b,), t), cond,
+            )
+            if self.use_ddim:
+                x = sched.ddim_step(x, eps, t, t - stride)
+            else:
                 rng, sub = jax.random.split(rng)
-                eps = policy.apply(
-                    {"params": pol_params, **pol_aux},
-                    x, jnp.full((b,), t), cond,
-                )
-                x = sched.ddpm_step(sub, x, eps, t)
+                x = sched.ddpm_step(sub, x, eps, t, t_prev=t - stride)
         return x
 
     def get_action(self, obs_dict, goal_dict=None):
         """Whole pipeline (cond encode + full denoising loop) is ONE jitted
-        device call - the reference dispatches every denoise step."""
-        enc_name = "obs_encoder_ema" if self.ema_enabled else "obs_encoder"
+        device call - the reference dispatches every denoise step.
+
+        Reference quirk reproduced: at inference the obs encoder runs with
+        the LIVE (non-EMA) weights while the denoiser uses the EMA shadow —
+        ``_get_action_trajectory`` encodes through ``self.nets`` but
+        denoises through the ``copy_to``'d shadow nets
+        (diffusion_policy.py:336-376)."""
+        enc_name = "obs_encoder"
         pol_name = "policy_ema" if self.ema_enabled else "policy"
 
         def infer(params, aux, obs, key):

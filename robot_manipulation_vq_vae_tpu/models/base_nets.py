@@ -43,6 +43,22 @@ def _bn_train(train):
     return train and not _FROZEN_BATCH_NORM
 
 
+def _trunk_norm(h, norm, train, name):
+    """The ResNet trunks' normalization layer. ``norm='batch'`` is
+    torchvision BatchNorm semantics; ``norm='group'`` swaps in
+    GroupNorm(C // 16) exactly like the reference diffusion policy's
+    ``replace_bn_with_gn`` (diffusion_policy.py:448-461, features_per_group
+    16, torch eps 1e-5) — stateless, so EMA-averaging the whole policy
+    stays well-defined ("performance will tank if you forget",
+    diffusion_policy.py:64-67)."""
+    if norm == "group":
+        return nn.GroupNorm(
+            num_groups=h.shape[-1] // 16, epsilon=1e-5, name=name
+        )(h)
+    assert norm == "batch", norm
+    return nn.BatchNorm(use_running_average=not _bn_train(train), name=name)(h)
+
+
 # Opt-in pool-free stem (`config.train.pool_free_stem`): the ResNet stem's
 # 7x7/s2 conv + 3x3/s2 maxpool collapse into one 7x7/s4 conv. Parameter
 # shapes are untouched and the output spatial shape is IDENTICAL for every
@@ -122,6 +138,7 @@ class BasicBlock(nn.Module):
 
     features: int
     stride: int = 1
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -130,21 +147,19 @@ class BasicBlock(nn.Module):
             self.features, (3, 3), strides=(self.stride, self.stride),
             padding=((1, 1), (1, 1)), use_bias=False, name="conv1",
         )(x)
-        h = nn.BatchNorm(use_running_average=not _bn_train(train), name="bn1")(h)
+        h = _trunk_norm(h, self.norm, train, "bn1")
         h = nn.relu(h)
         h = nn.Conv(
             self.features, (3, 3), padding=((1, 1), (1, 1)),
             use_bias=False, name="conv2",
         )(h)
-        h = nn.BatchNorm(use_running_average=not _bn_train(train), name="bn2")(h)
+        h = _trunk_norm(h, self.norm, train, "bn2")
         if self.stride != 1 or x.shape[-1] != self.features:
             identity = nn.Conv(
                 self.features, (1, 1), strides=(self.stride, self.stride),
                 use_bias=False, name="down_conv",
             )(x)
-            identity = nn.BatchNorm(use_running_average=not _bn_train(train), name="down_bn")(
-                identity
-            )
+            identity = _trunk_norm(identity, self.norm, train, "down_bn")
         return nn.relu(h + identity)
 
 
@@ -152,6 +167,7 @@ class _ResNet18Stem(nn.Module):
     """conv7x7/2 + BN + ReLU + maxpool3x3/2 (torchvision stem)."""
 
     coord_conv: bool = False
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -162,7 +178,7 @@ class _ResNet18Stem(nn.Module):
             64, (7, 7), strides=(stride, stride), padding=((3, 3), (3, 3)),
             use_bias=False, name="conv1",
         )(x)
-        x = nn.BatchNorm(use_running_average=not _bn_train(train), name="bn1")(x)
+        x = _trunk_norm(x, self.norm, train, "bn1")
         x = nn.relu(x)
         if _POOL_FREE_STEM:
             # opt-in speed mode: stride-4 conv already lands on the pooled
@@ -199,30 +215,29 @@ class Bottleneck(nn.Module):
     features: int
     stride: int = 1
     expansion: int = 4
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, train=False):
         out_feat = self.features * self.expansion
         identity = x
         h = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
-        h = nn.BatchNorm(use_running_average=not _bn_train(train), name="bn1")(h)
+        h = _trunk_norm(h, self.norm, train, "bn1")
         h = nn.relu(h)
         h = nn.Conv(
             self.features, (3, 3), strides=(self.stride, self.stride),
             padding=((1, 1), (1, 1)), use_bias=False, name="conv2",
         )(h)
-        h = nn.BatchNorm(use_running_average=not _bn_train(train), name="bn2")(h)
+        h = _trunk_norm(h, self.norm, train, "bn2")
         h = nn.relu(h)
         h = nn.Conv(out_feat, (1, 1), use_bias=False, name="conv3")(h)
-        h = nn.BatchNorm(use_running_average=not _bn_train(train), name="bn3")(h)
+        h = _trunk_norm(h, self.norm, train, "bn3")
         if self.stride != 1 or x.shape[-1] != out_feat:
             identity = nn.Conv(
                 out_feat, (1, 1), strides=(self.stride, self.stride),
                 use_bias=False, name="down_conv",
             )(x)
-            identity = nn.BatchNorm(
-                use_running_average=not _bn_train(train), name="down_bn"
-            )(identity)
+            identity = _trunk_norm(identity, self.norm, train, "down_bn")
         return nn.relu(h + identity)
 
 
@@ -232,12 +247,13 @@ class ResNet18Conv(nn.Module):
 
     input_coord_conv: bool = False
     pretrained: bool = False  # accepted for config compat; no torchvision here
+    norm: str = "batch"  # "group" = the reference's replace_bn_with_gn
 
     @nn.compact
     def __call__(self, x, train=False):
-        x = _ResNet18Stem(coord_conv=self.input_coord_conv, name="stem")(x, train=train)
+        x = _ResNet18Stem(coord_conv=self.input_coord_conv, norm=self.norm, name="stem")(x, train=train)
         for i, (feat, stride) in enumerate(_RESNET18_PLAN):
-            x = BasicBlock(features=feat, stride=stride, name=f"block{i}")(
+            x = BasicBlock(features=feat, stride=stride, norm=self.norm, name=f"block{i}")(
                 x, train=train
             )
         return x
@@ -273,12 +289,13 @@ class ResNet18ConvFiLM(nn.Module):
     lang_emb_dim: int = 768
     input_coord_conv: bool = False
     pretrained: bool = False
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, lang_emb, train=False):
-        x = _ResNet18Stem(coord_conv=self.input_coord_conv, name="stem")(x, train=train)
+        x = _ResNet18Stem(coord_conv=self.input_coord_conv, norm=self.norm, name="stem")(x, train=train)
         for i, (feat, stride) in enumerate(_RESNET18_PLAN):
-            x = BasicBlock(features=feat, stride=stride, name=f"block{i}")(
+            x = BasicBlock(features=feat, stride=stride, norm=self.norm, name=f"block{i}")(
                 x, train=train
             )
             x = FiLMLayer(channels=feat, name=f"film{i}")(x, lang_emb)
@@ -327,12 +344,13 @@ class ResNet34Conv(nn.Module):
 
     input_coord_conv: bool = False
     pretrained: bool = False
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, train=False):
-        x = _ResNet18Stem(coord_conv=self.input_coord_conv, name="stem")(x, train=train)
+        x = _ResNet18Stem(coord_conv=self.input_coord_conv, norm=self.norm, name="stem")(x, train=train)
         for i, (feat, stride) in enumerate(_RESNET34_PLAN):
-            x = BasicBlock(features=feat, stride=stride, name=f"block{i}")(
+            x = BasicBlock(features=feat, stride=stride, norm=self.norm, name=f"block{i}")(
                 x, train=train
             )
         return x
@@ -349,12 +367,13 @@ class ResNet50Conv(nn.Module):
 
     input_coord_conv: bool = False
     pretrained: bool = False
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, train=False):
-        x = _ResNet18Stem(coord_conv=self.input_coord_conv, name="stem")(x, train=train)
+        x = _ResNet18Stem(coord_conv=self.input_coord_conv, norm=self.norm, name="stem")(x, train=train)
         for i, (feat, stride) in enumerate(_resnet_plan((3, 4, 6, 3))):
-            x = Bottleneck(features=feat, stride=stride, name=f"block{i}")(
+            x = Bottleneck(features=feat, stride=stride, norm=self.norm, name=f"block{i}")(
                 x, train=train
             )
         return x
@@ -371,12 +390,13 @@ class ResNet34ConvFiLM(nn.Module):
     lang_emb_dim: int = 768
     input_coord_conv: bool = False
     pretrained: bool = False
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, lang_emb, train=False):
-        x = _ResNet18Stem(coord_conv=self.input_coord_conv, name="stem")(x, train=train)
+        x = _ResNet18Stem(coord_conv=self.input_coord_conv, norm=self.norm, name="stem")(x, train=train)
         for i, (feat, stride) in enumerate(_RESNET34_PLAN):
-            x = BasicBlock(features=feat, stride=stride, name=f"block{i}")(
+            x = BasicBlock(features=feat, stride=stride, norm=self.norm, name=f"block{i}")(
                 x, train=train
             )
             x = FiLMLayer(channels=feat, name=f"film{i}")(x, lang_emb)
@@ -393,12 +413,13 @@ class ResNet50ConvFiLM(nn.Module):
     lang_emb_dim: int = 768
     input_coord_conv: bool = False
     pretrained: bool = False
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, lang_emb, train=False):
-        x = _ResNet18Stem(coord_conv=self.input_coord_conv, name="stem")(x, train=train)
+        x = _ResNet18Stem(coord_conv=self.input_coord_conv, norm=self.norm, name="stem")(x, train=train)
         for i, (feat, stride) in enumerate(_resnet_plan((3, 4, 6, 3))):
-            x = Bottleneck(features=feat, stride=stride, name=f"block{i}")(
+            x = Bottleneck(features=feat, stride=stride, norm=self.norm, name=f"block{i}")(
                 x, train=train
             )
             x = FiLMLayer(channels=feat * 4, name=f"film{i}")(x, lang_emb)
@@ -418,12 +439,13 @@ class ResNet18ConvFiLMCrossAttn(nn.Module):
     input_coord_conv: bool = False
     pretrained: bool = False
     num_heads: int = 8
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, lang_emb, train=False):
-        x = _ResNet18Stem(coord_conv=self.input_coord_conv, name="stem")(x, train=train)
+        x = _ResNet18Stem(coord_conv=self.input_coord_conv, norm=self.norm, name="stem")(x, train=train)
         for i, (feat, stride) in enumerate(_RESNET18_PLAN):
-            x = BasicBlock(features=feat, stride=stride, name=f"block{i}")(
+            x = BasicBlock(features=feat, stride=stride, norm=self.norm, name=f"block{i}")(
                 x, train=train
             )
             x = FiLMLayer(channels=feat, name=f"film{i}")(x, lang_emb)

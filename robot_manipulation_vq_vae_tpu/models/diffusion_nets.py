@@ -26,11 +26,32 @@ def cosine_beta_schedule(num_steps, s=0.008, max_beta=0.999):
 
 
 class DiffusionSchedule:
-    """Precomputed DDPM quantities + DDIM stepping."""
+    """Precomputed DDPM/DDIM schedule with ``diffusers`` stepping semantics.
 
-    def __init__(self, num_train_timesteps=100, beta_schedule="squaredcos_cap_v2"):
+    The reference wraps ``diffusers`` ``DDPMScheduler``/``DDIMScheduler``
+    (diffusion_policy.py:88-106) with ``prediction_type='epsilon'``; this
+    reimplements the exact math of those schedulers' ``set_timesteps`` and
+    ``step``:
+
+    - strided inference timesteps ``(arange(n_inf) * (n_train // n_inf))``
+      reversed (+ ``steps_offset`` for DDIM),
+    - ``prev_t = t - n_train // n_inf`` in every step,
+    - DDPM posterior with the "fixed_small" variance
+      ``(1-ab_prev)/(1-ab_t) * beta_t`` clamped to >= 1e-20 (the diffusers
+      default ``variance_type``),
+    - optional ``clip_sample`` of the predicted x0 to [-1, 1],
+    - DDIM with ``eta=0``, ``set_alpha_to_one`` for the final step's
+      ``ab_prev``, and the *unclipped* eps reused for the direction term
+      (diffusers uses ``model_output`` there even when x0 was clipped).
+    """
+
+    def __init__(self, num_train_timesteps=100, beta_schedule="squaredcos_cap_v2",
+                 clip_sample=True, set_alpha_to_one=True, steps_offset=0):
         assert beta_schedule == "squaredcos_cap_v2"
         self.num_train_timesteps = num_train_timesteps
+        self.clip_sample = clip_sample
+        self.set_alpha_to_one = set_alpha_to_one
+        self.steps_offset = steps_offset
         betas = cosine_beta_schedule(num_train_timesteps)
         alphas = 1.0 - betas
         alphas_bar = np.cumprod(alphas)
@@ -46,23 +67,53 @@ class DiffusionSchedule:
         b = self.sqrt_1mab[t][:, None, None]
         return a * x0 + b * noise
 
-    def ddpm_step(self, rng, x_t, eps_pred, t):
-        """One reverse DDPM step at integer timestep t (scalar)."""
-        beta = self.betas[t]
-        alpha = self.alphas[t]
-        ab = self.alphas_bar[t]
-        coef = beta / jnp.sqrt(1.0 - ab)
-        mean = (x_t - coef * eps_pred) / jnp.sqrt(alpha)
+    def inference_timesteps(self, num_inference_steps, ddim=False):
+        """The diffusers ``set_timesteps`` grid (descending numpy int array)."""
+        n = min(num_inference_steps, self.num_train_timesteps)
+        step_ratio = self.num_train_timesteps // n
+        ts = (np.arange(0, n) * step_ratio).round()[::-1].astype(np.int64)
+        if ddim:
+            ts = ts + self.steps_offset
+        return ts
+
+    def _ab_prev(self, t_prev, ddim):
+        """alphas_bar at the previous grid timestep; past the end of the
+        chain DDPM uses 1.0 and DDIM uses ``final_alpha_cumprod``."""
+        final = 1.0 if (not ddim or self.set_alpha_to_one) else self.alphas_bar[0]
+        return jnp.where(
+            t_prev >= 0, self.alphas_bar[jnp.maximum(t_prev, 0)], final
+        )
+
+    def _pred_x0(self, x_t, eps_pred, ab_t):
+        x0 = (x_t - jnp.sqrt(1.0 - ab_t) * eps_pred) / jnp.sqrt(ab_t)
+        if self.clip_sample:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        return x0
+
+    def ddpm_step(self, rng, x_t, eps_pred, t, t_prev=None):
+        """One reverse DDPM step at integer timestep t (scalar); ``t_prev``
+        defaults to ``t - 1`` (full-chain sampling)."""
+        if t_prev is None:
+            t_prev = t - 1
+        ab_t = self.alphas_bar[t]
+        ab_prev = self._ab_prev(t_prev, ddim=False)
+        beta_t = 1.0 - ab_t / ab_prev  # current_beta_t over the grid stride
+        x0 = self._pred_x0(x_t, eps_pred, ab_t)
+        # posterior mean coefficients (diffusers scheduling_ddpm.step)
+        coef_x0 = jnp.sqrt(ab_prev) * beta_t / (1.0 - ab_t)
+        coef_xt = jnp.sqrt(ab_t / ab_prev) * (1.0 - ab_prev) / (1.0 - ab_t)
+        mean = coef_x0 * x0 + coef_xt * x_t
+        # "fixed_small" variance, clamped like diffusers' _get_variance
+        var = jnp.maximum((1.0 - ab_prev) / (1.0 - ab_t) * beta_t, 1e-20)
         noise = jax.random.normal(rng, x_t.shape)
-        sigma = jnp.sqrt(beta)
-        return mean + jnp.where(t > 0, sigma, 0.0) * noise
+        return mean + jnp.where(t > 0, jnp.sqrt(var), 0.0) * noise
 
     def ddim_step(self, x_t, eps_pred, t, t_prev, eta=0.0):
+        assert eta == 0.0  # the reference never passes eta
         ab_t = self.alphas_bar[t]
-        ab_prev = jnp.where(t_prev >= 0, self.alphas_bar[jnp.maximum(t_prev, 0)], 1.0)
-        x0 = (x_t - jnp.sqrt(1 - ab_t) * eps_pred) / jnp.sqrt(ab_t)
-        x0 = jnp.clip(x0, -1.0, 1.0)
-        dir_xt = jnp.sqrt(1 - ab_prev) * eps_pred
+        ab_prev = self._ab_prev(t_prev, ddim=True)
+        x0 = self._pred_x0(x_t, eps_pred, ab_t)
+        dir_xt = jnp.sqrt(1.0 - ab_prev) * eps_pred
         return jnp.sqrt(ab_prev) * x0 + dir_xt
 
 

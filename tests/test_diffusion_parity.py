@@ -215,3 +215,68 @@ def test_unet_adam_trajectory_parity(ref_diffusion):
             leaf, flat_t[path], atol=5e-4, frac=0.995, max_abs=2e-2,
             msg=f"after {N_STEPS} Adam steps: {jax.tree_util.keystr(path)}",
         )
+
+
+@pytest.mark.slow
+def test_gn_trunk_parity_vs_torch():
+    """Our ResNet stem+BasicBlock with norm='group' matches a torch module
+    built exactly the way the reference's replace_bn_with_gn leaves a
+    torchvision trunk: BatchNorm2d swapped for GroupNorm(C//16), weights
+    transplanted (validates group count, eps=1e-5, and channel grouping
+    across the NCHW->NHWC layout change)."""
+    import torch.nn as tnn
+    from robot_manipulation_vq_vae_tpu.models.base_nets import (
+        BasicBlock, _ResNet18Stem,
+    )
+
+    class TorchStemBlock(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.gn1 = tnn.GroupNorm(64 // 16, 64)
+            self.pool = tnn.MaxPool2d(3, 2, 1)
+            # one stride-2 BasicBlock 64 -> 128 with downsample
+            self.b_conv1 = tnn.Conv2d(64, 128, 3, 2, 1, bias=False)
+            self.b_gn1 = tnn.GroupNorm(128 // 16, 128)
+            self.b_conv2 = tnn.Conv2d(128, 128, 3, 1, 1, bias=False)
+            self.b_gn2 = tnn.GroupNorm(128 // 16, 128)
+            self.d_conv = tnn.Conv2d(64, 128, 1, 2, bias=False)
+            self.d_gn = tnn.GroupNorm(128 // 16, 128)
+
+        def forward(self, x):
+            x = torch.relu(self.gn1(self.conv1(x)))
+            x = self.pool(x)
+            h = torch.relu(self.b_gn1(self.b_conv1(x)))
+            h = self.b_gn2(self.b_conv2(h))
+            idn = self.d_gn(self.d_conv(x))
+            return torch.relu(h + idn)
+
+    torch.manual_seed(11)
+    tm = TorchStemBlock().eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    def conv(k):  # torch [out,in,kh,kw] -> flax [kh,kw,in,out]
+        return sd[k].transpose(2, 3, 1, 0).copy()
+
+    def gn(k):
+        return {"scale": sd[k + ".weight"].copy(), "bias": sd[k + ".bias"].copy()}
+
+    stem_params = {"conv1": {"kernel": conv("conv1.weight")}, "bn1": gn("gn1")}
+    block_params = {
+        "conv1": {"kernel": conv("b_conv1.weight")}, "bn1": gn("b_gn1"),
+        "conv2": {"kernel": conv("b_conv2.weight")}, "bn2": gn("b_gn2"),
+        "down_conv": {"kernel": conv("d_conv.weight")}, "down_bn": gn("d_gn"),
+    }
+
+    x = np.random.RandomState(13).rand(2, 33, 33, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    stem = _ResNet18Stem(norm="group")
+    blk = BasicBlock(features=128, stride=2, norm="group")
+    h = stem.apply({"params": jax.tree_util.tree_map(jnp.asarray, stem_params)},
+                   jnp.asarray(x))
+    out = blk.apply({"params": jax.tree_util.tree_map(jnp.asarray, block_params)},
+                    h)
+    np.testing.assert_allclose(
+        np.asarray(out), ref.transpose(0, 2, 3, 1), atol=2e-5, rtol=0
+    )
