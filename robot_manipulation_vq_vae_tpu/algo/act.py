@@ -196,11 +196,23 @@ class ACT(PolicyAlgo):
         self._ac_queue = []
 
     def process_batch_for_training(self, batch):
-        """obs at t=0, action chunk of seq_length (reference act.py:70-100)."""
+        """obs at t=0 — EXCEPT ``pad_mask``, which keeps its time axis for
+        the masked L1 (reference act.py:91-94); action chunk of seq_length."""
+        actions = np.asarray(batch["actions"])[:, : self.chunk_size]
+        obs = {
+            k: np.asarray(v)[:, 0]
+            for k, v in batch["obs"].items() if k != "pad_mask"
+        }
+        pm = batch["obs"].get("pad_mask")
+        if pm is None:
+            pm = np.ones(actions.shape[:2] + (1,), np.float32)
+        else:
+            pm = np.asarray(pm, np.float32)[:, : self.chunk_size]
+        obs["pad_mask"] = pm
         return {
-            "obs": {k: np.asarray(v)[:, 0] for k, v in batch["obs"].items()},
+            "obs": obs,
             "goal_obs": batch.get("goal_obs", None),
-            "actions": np.asarray(batch["actions"])[:, : self.chunk_size],
+            "actions": actions,
         }
 
     def _init_variables(self, rng, batch):
@@ -226,7 +238,12 @@ class ACT(PolicyAlgo):
             rng, r1, r2, r3 = jax.random.split(state.rng, 4)
 
             def loss_fn(params):
-                obs = device_process_obs(batch["obs"])
+                obs = dict(batch["obs"])
+                # padded timesteps drop out of the L1, but the mean still
+                # divides by the FULL element count — the reference's
+                # ``(all_l1 * ~is_pad).mean()`` (act.py:140-143)
+                keep = (obs.pop("pad_mask") != 0).astype(jnp.float32)
+                obs = device_process_obs(obs)
                 variables = {"params": params["policy"], **state.aux["policy"]}
                 mutable = list(state.aux["policy"].keys())
                 out, muts = policy.apply(
@@ -235,7 +252,7 @@ class ACT(PolicyAlgo):
                     rngs={"latent": r1, "dropout": r2, "randomizer": r3},
                     method=policy.forward_train,
                 )
-                l1 = jnp.mean(jnp.abs(out["a_hat"] - batch["actions"]))
+                l1 = jnp.mean(jnp.abs(out["a_hat"] - batch["actions"]) * keep)
                 kl = LossUtils.kld_0_1_loss(out["mu"], out["logvar"])
                 losses = OrderedDict(
                     l1_loss=l1, kl_loss=kl,
@@ -289,6 +306,8 @@ class ACT(PolicyAlgo):
         log = OrderedDict()
         log["Loss"] = float(info["losses"]["action_loss"])
         log["L1_Loss"] = float(info["losses"]["l1_loss"])
+        # reference log key (act.py:222): the L1 IS the reconstruction loss
+        log["Reconstruction_Loss"] = log["L1_Loss"]
         log["KL_Loss"] = float(info["losses"]["kl_loss"])
         return log
 

@@ -287,3 +287,44 @@ def test_diffusion_gn_encoder_and_ddpm():
     obs = {k: rng.rand(1, 2, *s).astype(np.float32) for k, s in obs_keys.items()}
     ac = np.asarray(algo.get_action(obs))
     assert ac.shape == (1, A) and np.all(np.isfinite(ac))
+
+
+@pytest.mark.slow
+def test_act_pad_mask_l1():
+    """pad_mask keeps its time axis through process_batch (reference
+    act.py:91-94) and gates the L1: with every step padded the masked L1 is
+    exactly 0 while the KL is untouched (reference ``(all_l1 *
+    ~is_pad).mean()``, act.py:140-143)."""
+    config = config_factory("act")
+    with config.values_unlocked():
+        config.observation.modalities.obs.low_dim = list(OBS_KEYS)
+        config.algo.act.hidden_dim = 32
+        config.algo.act.dim_feedforward = 64
+        config.algo.act.enc_layers = 1
+        config.algo.act.dec_layers = 1
+        config.algo.act.nheads = 4
+        config.algo.act.latent_dim = 4
+        config.train.seq_length = 6
+    config.lock()
+    ObsUtils.initialize_obs_utils_with_config(config)
+    algo = AlgoReg.algo_factory(
+        "act", config, obs_key_shapes=dict(OBS_KEYS), ac_dim=A
+    )
+    rng = np.random.RandomState(5)
+    raw = make_batch(rng, 6)
+    raw["obs"]["pad_mask"] = np.ones((B, 6, 1), np.float32)
+
+    batch = algo.process_batch_for_training(raw)
+    assert batch["obs"]["pad_mask"].shape == (B, 6, 1)  # time axis kept
+    assert batch["obs"][next(iter(OBS_KEYS))].shape == (B, *OBS_KEYS["robot0_eef_pos"])
+
+    log1 = algo.log_info(algo.train_on_batch(batch, epoch=1, validate=True))
+    assert log1["L1_Loss"] > 0
+
+    raw["obs"]["pad_mask"] = np.zeros((B, 6, 1), np.float32)
+    log0 = algo.log_info(
+        algo.train_on_batch(algo.process_batch_for_training(raw), epoch=1,
+                            validate=True)
+    )
+    assert log0["L1_Loss"] == 0.0
+    assert np.isfinite(log0["KL_Loss"]) and log0["KL_Loss"] != 0.0
