@@ -64,8 +64,12 @@ class IQL(PolicyAlgo):
                 mlp_layer_dims=tuple(cfg.actor.layer_dims),
                 fixed_std=cfg.actor.net.gaussian.fixed_std,
                 init_std=cfg.actor.net.gaussian.init_std,
+                init_last_fc_weight=cfg.actor.net.gaussian.get(
+                    "init_last_fc_weight", None
+                ),
                 std_activation=cfg.actor.net.common.std_activation,
                 low_noise_eval=cfg.actor.net.common.low_noise_eval,
+                use_tanh=cfg.actor.net.common.get("use_tanh", False),
                 encoder_kwargs=enc,
             )
         elif actor_type == "gmm":
@@ -223,7 +227,8 @@ class IQL(PolicyAlgo):
             # --- advantage-weighted actor ---
             adv = q_tgt_pred - v_pred
             if clip_adv is not None:
-                adv = jnp.clip(adv, -clip_adv, clip_adv)
+                # reference clamps the MAX only (iql.py:348)
+                adv = jnp.minimum(adv, clip_adv)
             weights = jnp.exp(adv / beta)
             if use_final_clip:
                 weights = jnp.clip(weights, None, 100.0)

@@ -97,6 +97,36 @@ class TanhWrappedGMM:
 
 
 @flax.struct.dataclass
+class TanhWrappedGaussian:
+    """Tanh-squashed diagonal Gaussian (reference
+    ``TanhWrappedDistribution`` over an Independent Normal,
+    distributions.py:11-85): y = tanh(x) * scale."""
+
+    base: "DiagGaussian"
+    scale: float = 1.0
+    tanh_epsilon: float = 1e-6
+
+    def log_prob(self, value):
+        value = value / self.scale
+        one_plus = jnp.clip(1.0 + value, self.tanh_epsilon, None)
+        one_minus = jnp.clip(1.0 - value, self.tanh_epsilon, None)
+        pre_tanh = 0.5 * (jnp.log(one_plus) - jnp.log(one_minus))
+        correction = jnp.sum(
+            jnp.log(jnp.clip(1.0 - value**2, self.tanh_epsilon, None)), axis=-1
+        )
+        return self.base.log_prob(pre_tanh) - correction - (
+            value.shape[-1] * jnp.log(jnp.asarray(self.scale))
+        )
+
+    def sample(self, rng):
+        return jnp.tanh(self.base.sample(rng)) * self.scale
+
+    @property
+    def mean(self):
+        return self.base.mean
+
+
+@flax.struct.dataclass
 class DiagGaussian:
     """Independent Normal over actions (Gaussian policy heads)."""
 

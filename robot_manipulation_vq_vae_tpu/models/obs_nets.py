@@ -16,6 +16,7 @@ Image layout is channels-last ([..., H, W, C]) throughout.
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -279,16 +280,24 @@ class ObservationDecoder(nn.Module):
     ``ObservationDecoder`` obs_nets.py:714-867)."""
 
     decode_shapes: Any  # ((key, shape), ...)
+    init_scale: Any = None  # uniform(-s, s) head init (reference
+    # ``init_last_fc_weight``, policy_nets.py:323-333: weights AND biases)
 
     @nn.compact
     def __call__(self, feats):
         out = {}
+        if self.init_scale is not None:
+            s = float(self.init_scale)
+            kinit = binit = lambda key, shape, dtype=jnp.float32: (
+                jax.random.uniform(key, shape, dtype, -s, s)
+            )
+        else:
+            kinit, binit = torch_linear_kernel_init, None
         for key, shape in _freeze_spec(self.decode_shapes):
-            flat = nn.Dense(
-                int(np.prod(shape)),
-                kernel_init=torch_linear_kernel_init,
-                name=f"head_{key}",
-            )(feats)
+            kwargs = {"kernel_init": kinit, "name": f"head_{key}"}
+            if binit is not None:
+                kwargs["bias_init"] = binit
+            flat = nn.Dense(int(np.prod(shape)), **kwargs)(feats)
             out[key] = flat.reshape(feats.shape[:-1] + tuple(shape))
         return out
 
@@ -666,6 +675,7 @@ class MIMO_MLP(nn.Module):
     output_shapes: Any
     layer_dims: Tuple[int, ...]
     encoder_kwargs: Any = None
+    decoder_init_scale: Any = None
 
     def setup(self):
         self.encoder = ObservationGroupEncoder(
@@ -678,7 +688,10 @@ class MIMO_MLP(nn.Module):
             activation=nn.relu,
             output_activation=nn.relu,
         ) if self.layer_dims else None
-        self.decoder = ObservationDecoder(decode_shapes=self.output_shapes)
+        self.decoder = ObservationDecoder(
+            decode_shapes=self.output_shapes,
+            init_scale=self.decoder_init_scale,
+        )
 
     def __call__(self, train=False, **inputs):
         flat = self.encoder(train=train, **inputs)

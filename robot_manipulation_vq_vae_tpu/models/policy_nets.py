@@ -16,6 +16,7 @@ reference:
 from typing import Any, Tuple
 
 import flax.linen as nn
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -23,6 +24,7 @@ from robot_manipulation_vq_vae_tpu.models import base_nets as BaseNets
 from robot_manipulation_vq_vae_tpu.models.distributions import (
     DiagGaussian,
     GMMActionDistribution,
+    TanhWrappedGaussian,
     TanhWrappedGMM,
 )
 from robot_manipulation_vq_vae_tpu.models.obs_nets import (
@@ -121,30 +123,42 @@ class GMMActorNetwork(nn.Module):
 
 
 class GaussianActorNetwork(nn.Module):
-    """MLP actor emitting a diagonal Gaussian (reference :207)."""
+    """MLP actor emitting a diagonal Gaussian, with the reference's exact
+    output transforms (reference ``GaussianActorNetwork``
+    policy_nets.py:207-426): mean clamped to ``mean_limits`` then tanh'd
+    (unless ``use_tanh`` wraps the whole distribution instead); scale =
+    ``softplus(x) * init_std / softplus(0)`` (or exp / identity) clamped to
+    ``std_limits``; low-noise eval overrides scale with 1e-4. ``min_std``
+    is the reference BC/ICL calling convention ``std_limits=(min_std, 7.5)``
+    (bc.py:277, icl.py:333). The scale head exists even with
+    ``fixed_std`` (the reference decoder always has both heads)."""
 
     obs_shapes: Any
     ac_dim: int
     mlp_layer_dims: Tuple[int, ...] = (1024, 1024)
     fixed_std: bool = False
-    init_std: float = 0.1
-    min_std: float = 0.01
+    init_std: float = 0.3
+    min_std: Any = None  # lower std clamp override (reference min_std)
+    mean_limits: Tuple[float, float] = (-9.0, 9.0)
+    std_limits: Tuple[float, float] = (0.007, 7.5)
     std_activation: str = "softplus"
     low_noise_eval: bool = True
+    use_tanh: bool = False
+    init_last_fc_weight: Any = None
     goal_shapes: Any = None
     encoder_kwargs: Any = None
 
     def setup(self):
-        out_shapes = [("mean", (self.ac_dim,))]
-        if not self.fixed_std:
-            out_shapes.append(("scale", (self.ac_dim,)))
         self.net = MIMO_MLP(
             input_obs_group_shapes=_obs_group_spec(
                 self.obs_shapes, self.goal_shapes
             ),
-            output_shapes=tuple(out_shapes),
+            output_shapes=(
+                ("mean", (self.ac_dim,)), ("scale", (self.ac_dim,)),
+            ),
             layer_dims=tuple(self.mlp_layer_dims),
             encoder_kwargs=self.encoder_kwargs,
+            decoder_init_scale=self.init_last_fc_weight,
         )
 
     def __call__(self, obs_dict, goal_dict=None, train=False):
@@ -152,14 +166,30 @@ class GaussianActorNetwork(nn.Module):
         if self.goal_shapes:
             kwargs["goal"] = goal_dict
         out = self.net(train=train, **kwargs)
-        mean = jnp.tanh(out["mean"])
+        mean = jnp.clip(out["mean"], self.mean_limits[0], self.mean_limits[1])
+        if not self.use_tanh:
+            mean = jnp.tanh(mean)
         if self.low_noise_eval and not train:
             scale = jnp.ones_like(mean) * 1e-4
-        elif self.fixed_std:
-            scale = jnp.ones_like(mean) * self.init_std
         else:
-            scale = _STD_ACTIVATIONS[self.std_activation](out["scale"]) + self.min_std
-        return DiagGaussian(mean=mean, scale=scale)
+            if self.fixed_std:
+                # fixed std skips the activation (std_activation -> None)
+                scale = jnp.ones_like(mean) * self.init_std
+            elif self.std_activation == "softplus":
+                # softplus scaled so that scale(0) == init_std
+                scale = jax.nn.softplus(out["scale"]) * (
+                    self.init_std / float(np.log(2.0))
+                )
+            elif self.std_activation == "exp":
+                scale = jnp.exp(out["scale"])
+            else:
+                scale = out["scale"]
+            lo = self.std_limits[0] if self.min_std is None else self.min_std
+            scale = jnp.clip(scale, lo, self.std_limits[1])
+        dist = DiagGaussian(mean=mean, scale=scale)
+        if self.use_tanh:
+            dist = TanhWrappedGaussian(base=dist, scale=1.0)
+        return dist
 
 
 # ---------------------------------------------------------------------------

@@ -75,3 +75,30 @@ def load_base_nets_reference():
     import importlib
 
     return importlib.import_module("robomimic.models.base_nets")
+
+
+def ensure_diffusers_stub():
+    """The reference's ``torch_utils.lr_scheduler_from_optim_params`` does a
+    function-scope ``from diffusers.optimization import ...`` even when the
+    requested scheduler never touches those symbols (torch_utils.py:140-143);
+    diffusers is not installed in this image, so satisfy the import with
+    inert placeholders (parity tests pin ``scheduler_type`` to None)."""
+    import importlib.machinery
+    import types
+
+    if "diffusers.optimization" in sys.modules:
+        return
+    d = types.ModuleType("diffusers")
+    d.__path__ = []
+    d.__spec__ = importlib.machinery.ModuleSpec(
+        "diffusers", loader=None, is_package=True
+    )
+    o = types.ModuleType("diffusers.optimization")
+    o.__spec__ = importlib.machinery.ModuleSpec(
+        "diffusers.optimization", loader=None
+    )
+    o.Union = o.SchedulerType = o.Optional = o.Optimizer = None
+    o.TYPE_TO_SCHEDULER_FUNCTION = {}
+    d.optimization = o
+    sys.modules["diffusers"] = d
+    sys.modules["diffusers.optimization"] = o
