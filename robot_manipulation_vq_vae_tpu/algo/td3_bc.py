@@ -77,7 +77,9 @@ class TD3_BC(PolicyAlgo):
         dones = np.asarray(batch["dones"])[:, :n_step].any(axis=1)
         dones = dones.astype(np.float32).reshape(-1, 1)
         if self.algo_config.infinite_horizon:
-            r = r + dones * (gamma**n_step) / (1.0 - gamma) * rewards[:, -1:]
+            # reference td3_bc.py:186-190: terminal rows' summed reward is
+            # SCALED by 1 / (1 - gamma^n) (self.discount is gamma^n there)
+            r = np.where(dones > 0, r / (1.0 - gamma**n_step), r)
         return {
             "obs": {k: np.asarray(v)[:, 0] for k, v in batch["obs"].items()},
             "next_obs": {
@@ -189,15 +191,19 @@ class TD3_BC(PolicyAlgo):
                 new_opts[f"critic{i}"] = gate_c(o, state.opt_states[f"critic{i}"])
 
             # ---- delayed actor update (branch-free via where on mask)
+            # the reference computes the actor's Q through critic0 AFTER its
+            # gradient step (train_on_batch ordering) — but in validate mode
+            # no critic step happened, so the pristine critic0 is used
+            c0_for_actor = (
+                state.params["critic0"] if validate else new_params["critic0"]
+            )
+
             def a_loss(p):
                 pi = apply_net(actor, p, state.aux["actor"], obs, train=True)
                 q_pi = apply_net(
-                    critics[0], new_params["critic0"], state.aux["critic0"],
-                    obs, pi,
+                    critics[0], c0_for_actor, state.aux["critic0"], obs, pi,
                 )
-                lam = alpha / jax.lax.stop_gradient(
-                    jnp.mean(jnp.abs(q_pi)) + 1e-8
-                )
+                lam = alpha / jax.lax.stop_gradient(jnp.mean(jnp.abs(q_pi)))
                 return -lam * jnp.mean(q_pi) + jnp.mean((pi - acts) ** 2)
 
             actor_loss, g_a = jax.value_and_grad(a_loss)(state.params["actor"])
