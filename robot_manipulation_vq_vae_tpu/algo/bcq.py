@@ -237,9 +237,16 @@ class BCQ(PolicyAlgo):
                 gates["action_sampler"], o, state.opt_states["action_sampler"]
             )
 
+            # the critic phase uses the sampler AFTER its gradient step
+            # (reference ordering); in validate mode nothing stepped
+            sampler_for_critic = (
+                state.params["action_sampler"] if validate
+                else new_params["action_sampler"]
+            )
+
             # ---- critic targets: sample candidates at s', max over samples
             tiled_next, cand = self._sample_actions(
-                new_params["action_sampler"], state.aux["action_sampler"],
+                sampler_for_critic, state.aux["action_sampler"],
                 next_obs, r_samp, n_samples,
             )
             if self.actor_enabled:
@@ -305,8 +312,12 @@ class BCQ(PolicyAlgo):
                 actor_net = self.nets["actor"]
                 r_a = jax.random.fold_in(rng, 7)
                 tiled_obs, cand_obs = self._sample_actions(
-                    new_params["action_sampler"],
+                    sampler_for_critic,
                     state.aux["action_sampler"], obs, r_a, 1,
+                )
+                c0_for_actor = (
+                    state.params["critic0"] if validate
+                    else new_params["critic0"]
                 )
 
                 def a_loss(p):
@@ -316,7 +327,7 @@ class BCQ(PolicyAlgo):
                         train=True,
                     )
                     q = apply_net(
-                        critics[0], new_params["critic0"],
+                        critics[0], c0_for_actor,
                         state.aux["critic0"], tiled_obs, perturbed,
                     )
                     return -jnp.mean(q)
@@ -577,8 +588,11 @@ class BCQ_Distributional(BCQ):
             )
 
             # --- target value distribution over sampled candidates
+            # (post-step sampler on real updates, pristine in validate)
             tiled_next, cand = self._sample_actions(
-                new_params["action_sampler"], state.aux["action_sampler"],
+                state.params["action_sampler"] if validate
+                else new_params["action_sampler"],
+                state.aux["action_sampler"],
                 next_obs, r_samp, n_samples,
             )
             log_probs_t, atoms = critic.apply(

@@ -84,9 +84,10 @@ class TanhWrappedGMM:
         one_plus = jnp.clip(1.0 + value, self.tanh_epsilon, None)
         one_minus = jnp.clip(1.0 - value, self.tanh_epsilon, None)
         pre_tanh = 0.5 * (jnp.log(one_plus) - jnp.log(one_minus))
-        # log|d tanh(x)/dx| = log(1 - tanh(x)^2)
+        # log|d tanh(x)/dx| with the reference's ADDED epsilon
+        # (distributions.py:42: log(1 - v*v + eps))
         correction = jnp.sum(
-            jnp.log(jnp.clip(1.0 - value**2, self.tanh_epsilon, None)), axis=-1
+            jnp.log(1.0 - value**2 + self.tanh_epsilon), axis=-1
         )
         return self.base.log_prob(pre_tanh) - correction - (
             value.shape[-1] * jnp.log(jnp.asarray(self.scale))
@@ -100,26 +101,43 @@ class TanhWrappedGMM:
 class TanhWrappedGaussian:
     """Tanh-squashed diagonal Gaussian (reference
     ``TanhWrappedDistribution`` over an Independent Normal,
-    distributions.py:11-85): y = tanh(x) * scale."""
+    distributions.py:11-85): y = tanh(x) * scale. ``log_prob`` follows the
+    reference exactly: atanh recovered via clamped (1±v) when no pre-tanh
+    value is given, and the squash correction is ``log(1 - v^2 + eps)``
+    (epsilon ADDED, the rlkit/CQL convention, distributions.py:42)."""
 
     base: "DiagGaussian"
     scale: float = 1.0
     tanh_epsilon: float = 1e-6
 
-    def log_prob(self, value):
+    def log_prob(self, value, pre_tanh_value=None):
         value = value / self.scale
-        one_plus = jnp.clip(1.0 + value, self.tanh_epsilon, None)
-        one_minus = jnp.clip(1.0 - value, self.tanh_epsilon, None)
-        pre_tanh = 0.5 * (jnp.log(one_plus) - jnp.log(one_minus))
+        if pre_tanh_value is None:
+            one_plus = jnp.clip(1.0 + value, self.tanh_epsilon, None)
+            one_minus = jnp.clip(1.0 - value, self.tanh_epsilon, None)
+            pre_tanh_value = 0.5 * jnp.log(one_plus / one_minus)
+        lp = self.base.log_prob(pre_tanh_value)
         correction = jnp.sum(
-            jnp.log(jnp.clip(1.0 - value**2, self.tanh_epsilon, None)), axis=-1
+            jnp.log(1.0 - value**2 + self.tanh_epsilon), axis=-1
         )
-        return self.base.log_prob(pre_tanh) - correction - (
-            value.shape[-1] * jnp.log(jnp.asarray(self.scale))
-        )
+        # the reference's base dist sums log-probs (Independent), so the
+        # x/scale jacobian term folds into a constant the reference drops
+        # for scale=1; keep its exact form
+        if self.scale != 1.0:
+            correction = correction + value.shape[-1] * jnp.log(
+                jnp.asarray(self.scale)
+            )
+        return lp - correction
 
     def sample(self, rng):
         return jnp.tanh(self.base.sample(rng)) * self.scale
+
+    def rsample_with_pretanh(self, rng, sample_shape=()):
+        """Reparameterized sample + its pre-tanh value (reference
+        ``rsample(..., return_pretanh_value=True)``)."""
+        shape = tuple(sample_shape) + self.base.mean.shape
+        z = self.base.mean + self.base.scale * jax.random.normal(rng, shape)
+        return jnp.tanh(z) * self.scale, z
 
     @property
     def mean(self):

@@ -107,10 +107,19 @@ def test_cql():
     algo = make_algo("cql", **{"critic.num_random_actions": 4})
     assert isinstance(algo, AlgoReg.CQL)
     logs = _run_two_steps(algo)
-    assert "actor/alpha" in logs[0]
-    assert "critic/critic1_gap" in logs[0]
-    # lagrange multiplier state exists (target_q_gap default 5.0 > 0)
-    assert "log_alpha_prime" in algo.state.params
+    assert "entropy_weight" in logs[0]
+    assert "critic/cql_weight" in logs[0]
+    # cql Lagrange weight is learned (target_q_gap default 5.0 >= 0,
+    # reference automatic_cql_tuning) and entropy weight is learned
+    # (target_entropy "default")
+    assert "log_cql_weight" in algo.state.params
+    assert "log_entropy_weight" in algo.state.params
+    # ValueAlgo surface
+    rng = np.random.RandomState(1)
+    obs = {"flat": rng.randn(2, 9).astype(np.float32)}
+    acts = rng.uniform(-1, 1, (2, A)).astype(np.float32)
+    q = np.asarray(algo.get_state_action_value(obs, acts))
+    assert q.shape == (2, 1)
 
 
 def test_bcq_distributional():

@@ -216,3 +216,52 @@ def test_smooth_l1_matches_torch():
     want = torch.nn.SmoothL1Loss()(torch.from_numpy(a), torch.from_numpy(b))
     got = LossUtils.smooth_l1_loss(jnp.asarray(a), jnp.asarray(b))
     np.testing.assert_allclose(float(got), float(want), atol=1e-6, rtol=0)
+
+
+@pytest.mark.slow
+def test_tanh_wrapped_gaussian_matches_reference():
+    """TanhWrappedGaussian.log_prob (with and without a pre-tanh value) and
+    rsample_with_pretanh match the reference TanhWrappedDistribution over an
+    Independent Normal (reference distributions.py:11-85) — the CQL actor's
+    probability machinery."""
+    load_reference_robomimic()
+    import importlib
+
+    ref_dists = importlib.import_module("robomimic.models.distributions")
+    import torch.distributions as D
+
+    from robot_manipulation_vq_vae_tpu.models.distributions import (
+        DiagGaussian, TanhWrappedGaussian,
+    )
+
+    rng = np.random.RandomState(11)
+    mean = rng.randn(6, 4).astype(np.float32)
+    std = np.exp(rng.randn(6, 4)).astype(np.float32) * 0.5
+    base_t = D.Independent(D.Normal(torch.from_numpy(mean),
+                                    torch.from_numpy(std)), 1)
+    ref = ref_dists.TanhWrappedDistribution(base_dist=base_t, scale=1.0)
+    ours = TanhWrappedGaussian(
+        base=DiagGaussian(mean=jnp.asarray(mean), scale=jnp.asarray(std))
+    )
+
+    # log_prob from values only (atanh path), incl. saturated actions
+    vals = np.tanh(rng.randn(6, 4)).astype(np.float32)
+    vals[0, 0] = 1.0  # exercise the clamp
+    want = ref.log_prob(torch.from_numpy(vals)).numpy()
+    got = np.asarray(ours.log_prob(jnp.asarray(vals)))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)
+
+    # log_prob with an explicit pre-tanh value
+    pre = rng.randn(6, 4).astype(np.float32)
+    want = ref.log_prob(torch.tanh(torch.from_numpy(pre)),
+                        pre_tanh_value=torch.from_numpy(pre)).numpy()
+    got = np.asarray(
+        ours.log_prob(jnp.tanh(jnp.asarray(pre)), jnp.asarray(pre))
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    # rsample_with_pretanh: action == tanh(pre_tanh), pre_tanh ~ N(mean, std)
+    a, z = ours.rsample_with_pretanh(jax.random.PRNGKey(0), sample_shape=(5,))
+    assert a.shape == (5, 6, 4) and z.shape == (5, 6, 4)
+    np.testing.assert_allclose(np.asarray(a), np.tanh(np.asarray(z)),
+                               atol=1e-6, rtol=0)
