@@ -111,10 +111,13 @@ class GL(PlannerAlgo):
                      **state.aux["goal_network"]},
                     obs, goal_dict=_goal_of(batch),
                 )
-                loss = sum(
-                    jnp.mean((pred[k] - subgoals[k]) ** 2) for k in pred
+                per_key = OrderedDict(
+                    (f"goal_{k}_loss", jnp.mean((pred[k] - subgoals[k]) ** 2))
+                    for k in pred
                 )
-                return loss, OrderedDict(goal_loss=loss)
+                loss = sum(per_key.values())
+                per_key["goal_loss"] = loss
+                return loss, per_key
 
             (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params

@@ -184,3 +184,105 @@ def test_bc_gmm_nll_and_trajectory_parity():
         mode="gmm", heads=("mean", "scale", "logits"),
         loss_keys=("log_probs", "action_loss"),
     )
+
+
+@pytest.mark.slow
+def test_gl_subgoal_loss_and_trajectory_parity():
+    """Plain GL planner: per-key subgoal MSE summed (reference
+    gl.py:137-182), subgoal-horizon batch slicing, and 12 Adam steps."""
+    load_reference_robomimic()
+    ensure_diffusers_stub()
+    from robomimic.config import config_factory as ref_config_factory
+    import robomimic.utils.obs_utils as RefObsUtils
+    from robomimic.algo import algo_factory as ref_algo_factory
+
+    SH = 3  # subgoal horizon
+
+    def tune(cfg):
+        cfg.algo.vae.enabled = False  # plain deterministic GL
+        cfg.algo.ae.planner_layer_dims = list(LAYERS)
+        cfg.algo.subgoal_horizon = SH
+        cfg.algo.optim_params.goal_network.learning_rate.initial = LR
+        cfg.algo.optim_params.goal_network.learning_rate.scheduler_type = None
+        cfg.algo.optim_params.goal_network.regularization.L2 = 0.0
+
+    rcfg = ref_config_factory("gl")
+    with rcfg.unlocked():
+        rcfg.observation.modalities.obs.low_dim = ["flat"]
+        rcfg.observation.modalities.obs.rgb = []
+        rcfg.observation.modalities.subgoal.low_dim = ["flat"]
+        rcfg.observation.modalities.subgoal.rgb = []
+        rcfg.algo.language_conditioned = False
+        tune(rcfg)
+    rcfg.lock()
+    RefObsUtils.initialize_obs_utils_with_config(rcfg)
+    torch.manual_seed(0)
+    ref = ref_algo_factory(
+        "gl", rcfg, obs_key_shapes={"flat": (O,)}, ac_dim=A, device="cpu"
+    )
+
+    cfg = config_factory("gl")
+    with cfg.values_unlocked():
+        cfg.observation.modalities.obs.low_dim = ["flat"]
+        cfg.observation.modalities.obs.rgb = []
+        cfg.observation.modalities.subgoal.low_dim = ["flat"]
+        cfg.observation.modalities.subgoal.rgb = []
+        tune(cfg)
+    cfg.lock()
+    ObsUtils.initialize_obs_utils_with_config(cfg)
+    ours = AlgoReg.algo_factory(
+        "gl", cfg, obs_key_shapes={"flat": (O,)}, ac_dim=A
+    )
+
+    def params_of(r):
+        sd = {k: v.detach().numpy() for k, v in r.nets.state_dict().items()}
+        return {"goal_network": {"net": {
+            "mlp": {
+                "fc0": _lin(sd, "goal_network.nets.mlp._model.0"),
+                "out": _lin(sd, "goal_network.nets.mlp._model.2"),
+            },
+            "decoder": {"head_flat": _lin(sd, "goal_network.nets.decoder.nets.flat")},
+        }}}
+
+    def raw_batch(seed):
+        rng = np.random.RandomState(seed)
+        return {
+            "obs": {"flat": rng.randn(B, SH, O).astype(np.float32)},
+            "next_obs": {"flat": rng.randn(B, SH, O).astype(np.float32)},
+            "actions": rng.uniform(-0.9, 0.9, (B, SH, A)).astype(np.float32),
+        }
+
+    ours.ensure_state(ours.process_batch_for_training(raw_batch(0)))
+    ours.state = ours.state.replace(params=params_of(ref))
+
+    raw = raw_batch(1)
+    rinfo = ref.train_on_batch(
+        ref.process_batch_for_training(_to_torch(raw)), epoch=1, validate=True
+    )
+    oinfo = ours.train_on_batch(
+        ours.process_batch_for_training(raw), epoch=1, validate=True
+    )["losses"]
+    for key in ("goal_flat_loss", "goal_loss"):
+        np.testing.assert_allclose(
+            float(oinfo[key]), float(rinfo[key].detach()),
+            atol=2e-5, rtol=1e-5, err_msg=key,
+        )
+
+    for i in range(12):
+        raw = raw_batch(100 + i)
+        ref.train_on_batch(
+            ref.process_batch_for_training(_to_torch(raw)), epoch=1,
+            validate=False,
+        )
+        ours.train_on_batch(
+            ours.process_batch_for_training(raw), epoch=1, validate=False
+        )
+    final_ref = params_of(ref)
+    flat_o = jax.tree_util.tree_leaves_with_path(ours.state.params)
+    flat_r = dict(jax.tree_util.tree_leaves_with_path(final_ref))
+    assert len(flat_o) == len(flat_r)
+    for path, leaf in flat_o:
+        assert_mostly_close(
+            leaf, flat_r[path], atol=5e-4, frac=0.995, max_abs=2e-2,
+            msg=f"after 12 GL steps: {jax.tree_util.keystr(path)}",
+        )
