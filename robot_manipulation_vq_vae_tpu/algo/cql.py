@@ -49,6 +49,13 @@ def algo_config_to_class(algo_config):
 
 
 class CQL(PolicyAlgo):
+    # Optional determinism seam for the parity harness: a zero-arg callable
+    # returning {"actor", "backup", "rand", "curr", "next"} noise arrays
+    # (standard-normal eps for the rsample sites, uniform(-1,1) values for
+    # "rand"), threaded into the jitted step as a traced argument so both
+    # frameworks can consume identical draws (tests/test_cql_parity.py).
+    _noise_hook = None
+
     def _create_networks(self):
         cfg = self.algo_config
         obs_spec = tuple(self.obs_shapes.items())
@@ -200,10 +207,13 @@ class CQL(PolicyAlgo):
 
         state_aux_actor = None  # bound per-trace below
 
-        def step(state, batch, validate):
+        def step(state, batch, validate, eps):
             nonlocal state_aux_actor
             state_aux_actor = state.aux["actor"]
             rng, r1, r2, r3, r4, r5 = jax.random.split(state.rng, 6)
+
+            def _eps(key):
+                return None if eps is None else eps[key]
             obs = device_process_obs(batch["obs"])
             next_obs = device_process_obs(batch["next_obs"])
             acts, rewards, dones = (
@@ -222,7 +232,7 @@ class CQL(PolicyAlgo):
             # ---------------- policy + entropy weight (cql.py:250-333) ----
             def actor_loss_fn(a_params):
                 dist = dist_of(a_params, obs)
-                pi, pre_tanh = dist.rsample_with_pretanh(r1)
+                pi, pre_tanh = dist.rsample_with_pretanh(r1, eps=_eps("actor"))
                 logp = dist.log_prob(pi, pre_tanh)[:, None]  # (B, 1)
                 q_pi = jnp.min(
                     jnp.stack(
@@ -302,7 +312,7 @@ class CQL(PolicyAlgo):
                 # per-critic max over sampled candidates, then ensemble min;
                 # no entropy subtraction on this path
                 cand, _ = next_dist.rsample_with_pretanh(
-                    r2, sample_shape=(n_action_samples,)
+                    r2, sample_shape=(n_action_samples,), eps=_eps("backup")
                 )  # (S, B, A)
                 flat_cand = cand.transpose(1, 0, 2).reshape(
                     b * n_action_samples, ac_dim
@@ -325,7 +335,9 @@ class CQL(PolicyAlgo):
                     axis=0,
                 )
             else:
-                next_a, next_pre = next_dist.rsample_with_pretanh(r2)
+                next_a, next_pre = next_dist.rsample_with_pretanh(
+                    r2, eps=_eps("backup")
+                )
                 next_logp = next_dist.log_prob(next_a, next_pre)[:, None]
                 target_qs = jnp.min(
                     jnp.stack(
@@ -347,16 +359,23 @@ class CQL(PolicyAlgo):
             )
 
             # ------------- conservative candidates (cql.py:424-441) -------
-            rand_acts = jax.random.uniform(
-                r3, (b * n_rand, ac_dim), minval=-1.0, maxval=1.0
-            )
+            if eps is None:
+                rand_acts = jax.random.uniform(
+                    r3, (b * n_rand, ac_dim), minval=-1.0, maxval=1.0
+                )
+            else:
+                rand_acts = eps["rand"]
             rand_log_prob = float(ac_dim) * math.log(0.5)
             tiled_obs = tile(obs, n_rand)
             tiled_next = tile(next_obs, n_rand)
             curr_dist_t = dist_of(actor_for_critic, tiled_obs)
             next_dist_t = dist_of(actor_for_critic, tiled_next)
-            cql_curr, curr_pre = curr_dist_t.rsample_with_pretanh(r4)
-            cql_next, next_pre2 = next_dist_t.rsample_with_pretanh(r5)
+            cql_curr, curr_pre = curr_dist_t.rsample_with_pretanh(
+                r4, eps=_eps("curr")
+            )
+            cql_next, next_pre2 = next_dist_t.rsample_with_pretanh(
+                r5, eps=_eps("next")
+            )
             cql_curr_logp = jax.lax.stop_gradient(
                 curr_dist_t.log_prob(cql_curr, curr_pre)
             ).reshape(b, n_rand)
@@ -481,7 +500,10 @@ class CQL(PolicyAlgo):
         self.ensure_state(batch)
         if self._train_step_jit is None:
             self._train_step_jit = self._build_train_step()
-        self.state, metrics = self._train_step_jit(self.state, batch, validate)
+        eps = self._noise_hook() if self._noise_hook is not None else None
+        self.state, metrics = self._train_step_jit(
+            self.state, batch, validate, eps
+        )
         return {"losses": metrics}
 
     def log_info(self, info):

@@ -132,11 +132,17 @@ class TanhWrappedGaussian:
     def sample(self, rng):
         return jnp.tanh(self.base.sample(rng)) * self.scale
 
-    def rsample_with_pretanh(self, rng, sample_shape=()):
+    def rsample_with_pretanh(self, rng, sample_shape=(), eps=None):
         """Reparameterized sample + its pre-tanh value (reference
-        ``rsample(..., return_pretanh_value=True)``)."""
+        ``rsample(..., return_pretanh_value=True)``).
+
+        ``eps`` optionally injects the standard-normal draw (shape
+        ``sample_shape + mean.shape``) — the determinism seam the CQL/BCQ
+        parity harnesses use to feed both frameworks identical noise."""
         shape = tuple(sample_shape) + self.base.mean.shape
-        z = self.base.mean + self.base.scale * jax.random.normal(rng, shape)
+        if eps is None:
+            eps = jax.random.normal(rng, shape)
+        z = self.base.mean + self.base.scale * eps
         return jnp.tanh(z) * self.scale, z
 
     @property
