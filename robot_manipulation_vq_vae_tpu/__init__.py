@@ -24,6 +24,18 @@ Layer map (mirrors reference SURVEY.md numbering):
 
 __version__ = "0.1.0"
 
+# Opt-in CPU pin for subprocesses (examples, notebooks, data tooling).
+# The env var JAX_PLATFORMS is NOT sufficient on backends whose platform
+# plugin re-registers itself during jax import (it overrides the env var);
+# only the config API sticks, so honor an explicit request here, before
+# any device is touched.
+import os as _os
+
+if _os.environ.get("RMVQ_FORCE_CPU") == "1":
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 
 # ---------------------------------------------------------------------------
 # robomimic paper dataset registry (reference robomimic/__init__.py:17-105):

@@ -158,18 +158,30 @@ class BCQ(PolicyAlgo):
             out["actor_target"] = jax.tree_util.tree_map(jnp.array, v)
         return out
 
-    def _sample_actions(self, params, aux, obs, rng, num_samples):
+    # Optional determinism seam for the parity harness: a zero-arg callable
+    # returning {"enc", "backup", "actor"} noise arrays (standard-normal eps
+    # for the cVAE encoder rsample, prior z draws for the backup-candidate
+    # and actor-phase decodes), threaded into the jitted step as a traced
+    # argument so both frameworks consume identical draws
+    # (tests/test_bcq_parity.py).
+    _noise_hook = None
+
+    def _extra_step_args(self, epoch):
+        eps = self._noise_hook() if self._noise_hook is not None else None
+        return (self._epoch_gates(epoch), eps)
+
+    def _sample_actions(self, params, aux, obs, rng, num_samples, z=None):
         """Tile obs x num_samples, decode prior samples from the cVAE."""
         sampler = self.nets["action_sampler"]
         tiled = {
             k: jnp.repeat(v, num_samples, axis=0) for k, v in obs.items()
         }
         acts = sampler.apply(
-            {"params": params, **aux}, tiled, rngs={"latent": rng}
+            {"params": params, **aux}, tiled, rngs={"latent": rng}, z=z
         )
         return tiled, acts
 
-    def _sampler_loss(self, p, state, obs, acts, r_lat):
+    def _sampler_loss(self, p, state, obs, acts, r_lat, eps=None):
         """cVAE ELBO for the action sampler (reference bcq.py
         ``_train_action_sampler_on_batch``). Returns (loss, metrics)."""
         sampler = self.nets["action_sampler"]
@@ -177,7 +189,7 @@ class BCQ(PolicyAlgo):
         out = sampler.apply(
             {"params": p, **state.aux["action_sampler"]}, acts, obs,
             rngs={"latent": r_lat},
-            method=sampler.forward_train,
+            method=sampler.forward_train, eps=eps,
         )
         loss = out["reconstruction_loss"] + kl_weight * out["kl_loss"]
         return loss, OrderedDict(
@@ -202,8 +214,11 @@ class BCQ(PolicyAlgo):
         def apply_net(net, params, aux, *args, **kwargs):
             return net.apply({"params": params, **aux}, *args, **kwargs)
 
-        def step(state, batch, gates, validate):
+        def step(state, batch, gates, eps, validate):
             rng, r_lat, r_samp = jax.random.split(state.rng, 3)
+
+            def _eps(key):
+                return None if eps is None else eps[key]
             obs = device_process_obs(batch["obs"])
             next_obs = device_process_obs(batch["next_obs"])
             acts, rewards, dones = (
@@ -222,7 +237,8 @@ class BCQ(PolicyAlgo):
             # ---- action sampler update (cVAE here, NLL in BCQ_GMM)
             (sampler_loss, s_metrics), g_s = jax.value_and_grad(
                 self._sampler_loss, has_aux=True
-            )(state.params["action_sampler"], state, obs, acts, r_lat)
+            )(state.params["action_sampler"], state, obs, acts, r_lat,
+              _eps("enc"))
             metrics.update(s_metrics)
             updates, o = opts["action_sampler"].update(
                 g_s, state.opt_states["action_sampler"],
@@ -247,7 +263,7 @@ class BCQ(PolicyAlgo):
             # ---- critic targets: sample candidates at s', max over samples
             tiled_next, cand = self._sample_actions(
                 sampler_for_critic, state.aux["action_sampler"],
-                next_obs, r_samp, n_samples,
+                next_obs, r_samp, n_samples, z=_eps("backup"),
             )
             if self.actor_enabled:
                 # perturb candidates with the TARGET actor (reference bcq.py)
@@ -314,6 +330,7 @@ class BCQ(PolicyAlgo):
                 tiled_obs, cand_obs = self._sample_actions(
                     sampler_for_critic,
                     state.aux["action_sampler"], obs, r_a, 1,
+                    z=_eps("actor"),
                 )
                 c0_for_actor = (
                     state.params["critic0"] if validate
@@ -370,7 +387,7 @@ class BCQ(PolicyAlgo):
                 metrics,
             )
 
-        return jax.jit(step, static_argnums=3)
+        return jax.jit(step, static_argnums=4)
 
     def train_on_batch(self, batch, epoch, validate=False):
         from robot_manipulation_vq_vae_tpu.algo.td3_bc import TD3_BC
@@ -492,15 +509,19 @@ class BCQ_GMM(BCQ):
         )
         return out
 
-    def _sample_actions(self, params, aux, obs, rng, num_samples):
+    def _sample_actions(self, params, aux, obs, rng, num_samples, z=None):
+        """``z``, when injected by the parity harness, is a (mode, eps)
+        pair for the GMM sample (see GMMActionDistribution.sample)."""
         sampler = self.nets["action_sampler"]
         tiled = {k: jnp.repeat(v, num_samples, axis=0) for k, v in obs.items()}
         dist = sampler.apply({"params": params, **aux}, tiled, train=False)
-        return tiled, dist.sample(rng)
+        mode, eps = z if z is not None else (None, None)
+        return tiled, dist.sample(rng, mode=mode, eps=eps)
 
-    def _sampler_loss(self, p, state, obs, acts, r_lat):
-        """GMM sampler trains with NLL instead of the cVAE ELBO
-        (reference ``BCQ_GMM._train_action_sampler_on_batch``)."""
+    def _sampler_loss(self, p, state, obs, acts, r_lat, eps=None):
+        """GMM sampler trains with NLL instead of the cVAE ELBO (reference
+        ``BCQ_GMM._train_action_sampler_on_batch``); NLL has no sample
+        site, so ``eps`` is accepted for signature parity and unused."""
         sampler = self.nets["action_sampler"]
         dist = sampler.apply(
             {"params": p, **state.aux["action_sampler"]}, obs, train=True
@@ -547,8 +568,11 @@ class BCQ_Distributional(BCQ):
         kl_weight = float(cfg.action_sampler.vae.kl_weight)
         import optax
 
-        def step(state, batch, gates, validate):
+        def step(state, batch, gates, eps, validate):
             rng, r_lat, r_samp = jax.random.split(state.rng, 3)
+
+            def _eps(key):
+                return None if eps is None else eps[key]
             obs = device_process_obs(batch["obs"])
             next_obs = device_process_obs(batch["next_obs"])
             acts, rewards, dones = (
@@ -569,6 +593,7 @@ class BCQ_Distributional(BCQ):
                 out = sampler.apply(
                     {"params": p, **state.aux["action_sampler"]}, acts, obs,
                     rngs={"latent": r_lat}, method=sampler.forward_train,
+                    eps=_eps("enc"),
                 )
                 return out["reconstruction_loss"] + kl_weight * out["kl_loss"]
 
@@ -589,12 +614,23 @@ class BCQ_Distributional(BCQ):
 
             # --- target value distribution over sampled candidates
             # (post-step sampler on real updates, pristine in validate)
-            tiled_next, cand = self._sample_actions(
+            sampler_for_critic = (
                 state.params["action_sampler"] if validate
-                else new_params["action_sampler"],
-                state.aux["action_sampler"],
-                next_obs, r_samp, n_samples,
+                else new_params["action_sampler"]
             )
+            tiled_next, cand = self._sample_actions(
+                sampler_for_critic,
+                state.aux["action_sampler"],
+                next_obs, r_samp, n_samples, z=_eps("backup"),
+            )
+            if self.actor_enabled:
+                # perturb candidates with the TARGET actor (inherited
+                # reference behavior, bcq.py:452-461)
+                cand = self.nets["actor"].apply(
+                    {"params": state.params["actor_target"],
+                     **state.aux["actor"]},
+                    tiled_next, cand,
+                )
             log_probs_t, atoms = critic.apply(
                 {"params": state.params["critic0_target"],
                  **state.aux["critic0"]},
@@ -617,7 +653,13 @@ class BCQ_Distributional(BCQ):
                     {"params": p, **state.aux["critic0"]}, obs, acts,
                     method=critic.forward_train,
                 )
-                return -jnp.mean(jnp.sum(proj * log_probs, axis=-1))
+                # reference bcq.py:1019-1022 uses KLDivLoss(batchmean):
+                # mean_b sum_atoms q * (log q - log p), with 0*log 0 := 0 —
+                # the target-entropy term is constant in the gradient but
+                # part of the logged loss value
+                safe = jnp.where(proj > 0, proj, 1.0)
+                ent = jnp.sum(proj * jnp.log(safe), axis=-1)
+                return jnp.mean(ent - jnp.sum(proj * log_probs, axis=-1))
 
             loss_c, g_c = jax.value_and_grad(c_loss)(state.params["critic0"])
             metrics["critic/critic1_loss"] = loss_c
@@ -640,6 +682,57 @@ class BCQ_Distributional(BCQ):
                 state.params["critic0_target"],
             )
 
+            # --- perturbation actor: maximize expected Q(s, a + delta(a))
+            # (inherited reference behavior — _train_actor_on_batch runs
+            # for the distributional variant too when actor.enabled)
+            if self.actor_enabled:
+                actor_net = self.nets["actor"]
+                r_a = jax.random.fold_in(rng, 7)
+                tiled_obs, cand_obs = self._sample_actions(
+                    sampler_for_critic,
+                    state.aux["action_sampler"], obs, r_a, 1,
+                    z=_eps("actor"),
+                )
+                c0_for_actor = (
+                    state.params["critic0"] if validate
+                    else new_params["critic0"]
+                )
+
+                def a_loss(p):
+                    perturbed = actor_net.apply(
+                        {"params": p, **state.aux["actor"]},
+                        tiled_obs, jax.lax.stop_gradient(cand_obs),
+                        train=True,
+                    )
+                    q = critic.apply(
+                        {"params": c0_for_actor, **state.aux["critic0"]},
+                        tiled_obs, perturbed,
+                    )
+                    return -jnp.mean(q)
+
+                actor_loss, g_a = jax.value_and_grad(a_loss)(
+                    state.params["actor"]
+                )
+                metrics["actor/loss"] = actor_loss
+                updates, o = opts["actor"].update(
+                    g_a, state.opt_states["actor"], state.params["actor"]
+                )
+                new_params["actor"] = gate(
+                    gates["actor"],
+                    optax.apply_updates(state.params["actor"], updates),
+                    state.params["actor"],
+                )
+                new_opts["actor"] = gate(
+                    gates["actor"], o, state.opt_states["actor"]
+                )
+                new_params["actor_target"] = gate(
+                    gates["actor"],
+                    polyak(
+                        state.params["actor_target"], new_params["actor"], tau
+                    ),
+                    state.params["actor_target"],
+                )
+
             def choose(new, old):
                 return jax.tree_util.tree_map(
                     lambda a, c: jnp.where(validate, c, a), new, old
@@ -655,4 +748,4 @@ class BCQ_Distributional(BCQ):
                 metrics,
             )
 
-        return jax.jit(step, static_argnums=3)
+        return jax.jit(step, static_argnums=4)

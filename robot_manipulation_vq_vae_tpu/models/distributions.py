@@ -42,16 +42,21 @@ class GMMActionDistribution:
         mix_lp = jax.nn.log_softmax(self.logits, axis=-1)
         return jax.scipy.special.logsumexp(comp_lp + mix_lp, axis=-1)
 
-    def sample(self, rng):
+    def sample(self, rng, mode=None, eps=None):
+        """``mode``/``eps`` optionally inject the categorical pick and the
+        standard-normal draw — the determinism seam the BCQ_GMM parity
+        harness uses (tests/test_bcq_parity.py)."""
         rng_mode, rng_eps = jax.random.split(rng)
-        mode = jax.random.categorical(rng_mode, self.logits, axis=-1)  # [...]
+        if mode is None:
+            mode = jax.random.categorical(rng_mode, self.logits, axis=-1)
         mean = jnp.take_along_axis(
             self.means, mode[..., None, None], axis=-2
         ).squeeze(-2)
         scale = jnp.take_along_axis(
             self.scales, mode[..., None, None], axis=-2
         ).squeeze(-2)
-        eps = jax.random.normal(rng_eps, mean.shape)
+        if eps is None:
+            eps = jax.random.normal(rng_eps, mean.shape)
         return mean + scale * eps
 
     def mode_mean(self):

@@ -120,7 +120,10 @@ class VAEActor(nn.Module):
         mu, logvar = jnp.split(out, 2, axis=-1)
         return {"mean": mu, "logvar": logvar}
 
-    def reparametrize(self, params, rng, temperature=1.0):
+    def reparametrize(self, params, rng, temperature=1.0, eps=None):
+        """``eps`` optionally injects the standard-normal draw (Gaussian
+        priors only) — the determinism seam the BCQ parity harness uses to
+        feed both frameworks identical noise (tests/test_bcq_parity.py)."""
         if self.prior_use_categorical:
             g = -jnp.log(
                 -jnp.log(jax.random.uniform(rng, params["logits"].shape) + 1e-20)
@@ -132,7 +135,8 @@ class VAEActor(nn.Module):
                 hard = jax.nn.one_hot(idx, self.prior_categorical_dim)
                 y = hard + y - jax.lax.stop_gradient(y)
             return y.reshape(y.shape[:-2] + (-1,))
-        eps = jax.random.normal(rng, params["mean"].shape)
+        if eps is None:
+            eps = jax.random.normal(rng, params["mean"].shape)
         z = params["mean"] + jnp.exp(0.5 * params["logvar"]) * eps
         if self.latent_clip is not None:
             z = jnp.clip(z, -self.latent_clip, self.latent_clip)
@@ -144,7 +148,10 @@ class VAEActor(nn.Module):
             if self.decoder_is_conditioned
             else z
         )
-        return self.decoder_net(h)
+        # the reference VAEActor squashes action reconstructions into
+        # [-1, 1] (policy_nets.py output_squash=["action"], scale 1.0,
+        # applied in vae_nets.py VAE.decode)
+        return jnp.tanh(self.decoder_net(h))
 
     def _prior_params(self, obs_feat):
         batch = obs_feat.shape[0]
@@ -195,12 +202,12 @@ class VAEActor(nn.Module):
         return jnp.mean(log_qz - log_pz)
 
     def forward_train(self, actions, obs_dict, goal_dict=None, train=False,
-                      temperature=1.0):
+                      temperature=1.0, eps=None):
         """Returns the reference output dict (vae_nets.py forward)."""
         rng = self.make_rng("latent")
         obs_feat = self._obs_feat(obs_dict, goal_dict, train)
         enc_params = self.encode(actions, obs_feat)
-        z = self.reparametrize(enc_params, rng, temperature=temperature)
+        z = self.reparametrize(enc_params, rng, temperature=temperature, eps=eps)
         recons = self.decode(z, obs_feat)
         if self.decoder_reconstruction_sum_across_elements:
             recon_loss = jnp.mean(jnp.sum((recons - actions) ** 2, axis=-1))

@@ -15,7 +15,9 @@ EXAMPLES_DIR = os.path.join(
 
 def run_example(name, *args, timeout=600):
     env = dict(os.environ)
-    env.setdefault("JAX_PLATFORMS", "cpu")
+    # JAX_PLATFORMS is already set (and ignored) on plugin backends; the
+    # package honors RMVQ_FORCE_CPU via the config API, which sticks
+    env["RMVQ_FORCE_CPU"] = "1"
     result = subprocess.run(
         [sys.executable, os.path.join(EXAMPLES_DIR, name), *args],
         capture_output=True,
@@ -73,7 +75,7 @@ def test_notebooks_execute(name, tmp_path):
     pytest.importorskip("nbconvert")
     nb_path = os.path.join(EXAMPLES_DIR, "notebooks", f"{name}.ipynb")
     env = dict(os.environ)
-    env.setdefault("JAX_PLATFORMS", "cpu")
+    env["RMVQ_FORCE_CPU"] = "1"
     result = subprocess.run(
         [sys.executable, "-m", "jupyter", "nbconvert",
          "--ExecutePreprocessor.timeout=900", "--to", "notebook",
