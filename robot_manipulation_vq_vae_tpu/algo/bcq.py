@@ -489,7 +489,7 @@ class BCQ_GMM(BCQ):
             num_modes=gmm_cfg.get("num_modes", 5),
             min_std=gmm_cfg.get("min_std", 0.0001),
             std_activation=gmm_cfg.get("std_activation", "softplus"),
-            low_noise_eval=False,
+            low_noise_eval=gmm_cfg.get("low_noise_eval", True),
             encoder_kwargs=_encoder_kwargs(self.obs_config),
         )
 
@@ -507,6 +507,11 @@ class BCQ_GMM(BCQ):
         out["action_sampler"] = self.nets["action_sampler"].init(
             {"params": rngs[-1]}, obs
         )
+        if self.actor_enabled:
+            r_extra = jax.random.fold_in(rng, 99)
+            v = self.nets["actor"].init({"params": r_extra}, obs, acts)
+            out["actor"] = v
+            out["actor_target"] = jax.tree_util.tree_map(jnp.array, v)
         return out
 
     def _sample_actions(self, params, aux, obs, rng, num_samples, z=None):

@@ -430,3 +430,171 @@ def test_bcq_distributional_trajectory_parity(algo_pair_dist, monkeypatch):
             msg=f"after 12 BCQ_Distributional steps: "
                 f"{jax.tree_util.keystr(path)}",
         )
+
+
+# --------------------------------------------------------------------------
+# BCQ_GMM: GMM action sampler (NLL-trained; candidates are mixture samples)
+# --------------------------------------------------------------------------
+
+N_MODES = 3
+
+
+def _tune_gmm(cfg):
+    _tune(cfg)
+    cfg.algo.action_sampler.gmm.enabled = True
+    cfg.algo.action_sampler.gmm.num_modes = N_MODES
+    cfg.algo.action_sampler.gmm.low_noise_eval = True
+    cfg.algo.action_sampler.actor_layer_dims = list(LAYERS)
+
+
+@pytest.fixture(scope="module")
+def algo_pair_gmm():
+    return _build_pair(_tune_gmm)
+
+
+def torch_bcq_gmm_to_flax(ref):
+    sd = {k: v.detach().numpy().copy() for k, v in ref.nets.state_dict().items()}
+    sampler = {"net": {
+        "mlp": {
+            "fc0": _lin(sd, "action_sampler.nets.mlp._model.0"),
+            "out": _lin(sd, "action_sampler.nets.mlp._model.2"),
+        },
+        "decoder": {
+            f"head_{h}": _lin(sd, f"action_sampler.nets.decoder.nets.{h}")
+            for h in ("mean", "scale", "logits")
+        },
+    }}
+    params = {
+        "action_sampler": sampler,
+        "actor": {"mlp": _mlp3(sd, "actor", "action")},
+        "actor_target": {"mlp": _mlp3(sd, "actor_target", "action")},
+    }
+    for i in range(2):
+        params[f"critic{i}"] = {"mlp": _mlp3(sd, f"critic.{i}", "value")}
+        params[f"critic{i}_target"] = {
+            "mlp": _mlp3(sd, f"critic_target.{i}", "value")
+        }
+    return params
+
+
+def make_gmm_step_noise(seed):
+    """(mode, eps) pairs for the two mixture-sample sites, in the shared
+    sample-major layout: backup (B*S,), actor phase (B,)."""
+    rng = np.random.RandomState(seed)
+    return {
+        "enc": None,  # GMM sampler trains with NLL - no sample site
+        "backup": (rng.randint(0, N_MODES, B * N_SAMPLES),
+                   rng.randn(B * N_SAMPLES, A).astype(np.float32)),
+        "actor": (rng.randint(0, N_MODES, B),
+                  rng.randn(B, A).astype(np.float32)),
+    }
+
+
+def _ours_gmm_noise(noise):
+    return {
+        "enc": None,
+        "backup": tuple(jnp.asarray(x) for x in noise["backup"]),
+        "actor": tuple(jnp.asarray(x) for x in noise["actor"]),
+    }
+
+
+def _ref_gmm_patches(monkeypatch, queue):
+    """Replace torch MixtureSameFamily.sample with a strict queue consumer
+    of injected (mode, eps): sample = loc[mode] + scale[mode] * eps —
+    exactly a mixture draw with the categorical pick and normal eps
+    pinned."""
+    import torch.distributions as D
+
+    def sample(self, sample_shape=torch.Size()):
+        mode_np, eps_np = queue.pop(0)
+        mode = torch.from_numpy(np.asarray(mode_np)).long()
+        eps = torch.from_numpy(eps_np)
+        loc = self.component_distribution.base_dist.loc      # (N, M, A)
+        scale = self.component_distribution.base_dist.scale
+        assert loc.shape[0] == mode.shape[0]
+        idx = mode.view(-1, 1, 1).expand(-1, 1, loc.shape[-1])
+        return (loc.gather(1, idx) + scale.gather(1, idx) * eps[:, None, :]
+                ).squeeze(1)
+
+    monkeypatch.setattr(D.MixtureSameFamily, "sample", sample)
+
+
+def _sync_gmm(ref, ours):
+    raw = make_raw_batch(0)
+    ours.ensure_state(ours.process_batch_for_training(raw))
+    ours.state = ours.state.replace(params=torch_bcq_gmm_to_flax(ref))
+
+
+@pytest.mark.slow
+def test_bcq_gmm_loss_parity(algo_pair_gmm, monkeypatch):
+    """BCQ_GMM: validate-mode NLL sampler loss, batch-constrained critic
+    losses over low-noise-eval mixture candidates, and perturbation-actor
+    loss equal under identical injected (mode, eps) draws."""
+    ref, ours = algo_pair_gmm
+    _sync_gmm(ref, ours)
+    raw = make_raw_batch(3)
+    noise = make_gmm_step_noise(31)
+
+    _ref_gmm_patches(monkeypatch, [noise["backup"], noise["actor"]])
+    rinfo = ref.train_on_batch(
+        ref.process_batch_for_training(_to_torch(raw)), epoch=1, validate=True
+    )
+
+    ours._noise_hook = lambda: _ours_gmm_noise(noise)
+    try:
+        oinfo = ours.train_on_batch(
+            ours.process_batch_for_training(raw), epoch=1, validate=True
+        )["losses"]
+    finally:
+        ours._noise_hook = None
+
+    for key in ("action_sampler/loss", "critic/critic1_loss",
+                "critic/critic2_loss", "actor/loss"):
+        rv = rinfo[key]
+        want = float(rv.detach().float().mean()) if torch.is_tensor(rv) else float(rv)
+        np.testing.assert_allclose(float(oinfo[key]), want, atol=3e-5,
+                                   rtol=1e-5, err_msg=key)
+
+
+@pytest.mark.slow
+def test_bcq_gmm_trajectory_parity(algo_pair_gmm, monkeypatch):
+    """12 real BCQ_GMM steps track across the GMM sampler, both critics,
+    the perturbation actor and the polyak'd targets — covering the
+    reference's eval()-mode sampler during the critic phase (low-noise
+    sigma=1e-4 mixture candidates)."""
+    ref, ours = algo_pair_gmm
+    _sync_gmm(ref, ours)
+    # the validate-mode loss test leaves the torch sampler in eval()
+    # (train_on_batch only restores train mode on real updates)
+    ref.set_train()
+
+    queue = []
+    _ref_gmm_patches(monkeypatch, queue)
+
+    for i in range(12):
+        raw = make_raw_batch(300 + i)
+        noise = make_gmm_step_noise(900 + i)
+        queue.extend([noise["backup"], noise["actor"]])
+        ref.train_on_batch(
+            ref.process_batch_for_training(_to_torch(raw)), epoch=1,
+            validate=False,
+        )
+        assert not queue, "reference consumed an unexpected number of draws"
+
+        ours._noise_hook = lambda: _ours_gmm_noise(noise)
+        try:
+            ours.train_on_batch(
+                ours.process_batch_for_training(raw), epoch=1, validate=False
+            )
+        finally:
+            ours._noise_hook = None
+
+    final_ref = torch_bcq_gmm_to_flax(ref)
+    flat_o = jax.tree_util.tree_leaves_with_path(ours.state.params)
+    flat_r = dict(jax.tree_util.tree_leaves_with_path(final_ref))
+    assert len(flat_o) == len(flat_r)
+    for path, leaf in flat_o:
+        assert_mostly_close(
+            leaf, flat_r[path], atol=5e-4, frac=0.995, max_abs=2e-2,
+            msg=f"after 12 BCQ_GMM steps: {jax.tree_util.keystr(path)}",
+        )
