@@ -773,6 +773,48 @@ class SpatialMeanPool(nn.Module):
 # Recurrent base (for RNN policy variants)
 # ---------------------------------------------------------------------------
 
+class TorchLSTMCell(nn.RNNCellBase):
+    """LSTM cell with torch ``nn.LSTM``'s redundant double-bias
+    parametrization: biases on BOTH the input and hidden gate projections
+    (b_ih and b_hh). Forward-identical to ``nn.OptimizedLSTMCell`` (the
+    two biases just add), but adaptive-optimizer trajectories from
+    converted torch checkpoints match exactly — a fused single bias sees
+    half the effective Adam step of torch's two redundantly-updated
+    halves (verified by tests/test_hbc_parity.py)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, carry, inputs):
+        c, h = carry
+
+        def dense_i(name):
+            return nn.Dense(self.features, use_bias=True, name=name)
+
+        def dense_h(name):
+            return nn.Dense(
+                self.features, use_bias=True,
+                kernel_init=nn.initializers.orthogonal(), name=name,
+            )
+
+        i = nn.sigmoid(dense_i("ii")(inputs) + dense_h("hi")(h))
+        f = nn.sigmoid(dense_i("if")(inputs) + dense_h("hf")(h))
+        g = nn.tanh(dense_i("ig")(inputs) + dense_h("hg")(h))
+        o = nn.sigmoid(dense_i("io")(inputs) + dense_h("ho")(h))
+        new_c = f * c + i * g
+        new_h = o * nn.tanh(new_c)
+        return (new_c, new_h), new_h
+
+    @nn.nowrap
+    def initialize_carry(self, rng, input_shape):
+        mem_shape = input_shape[:-1] + (self.features,)
+        return (jnp.zeros(mem_shape), jnp.zeros(mem_shape))
+
+    @property
+    def num_feature_axes(self):
+        return 1
+
+
 class RNNBase(nn.Module):
     """Multi-layer LSTM/GRU over [B, T, D] sequences (reference ``RNN_Base``
     base_nets.py:348). Implemented with nn.RNN (lax.scan under jit)."""
@@ -783,7 +825,7 @@ class RNNBase(nn.Module):
 
     @nn.compact
     def __call__(self, x, initial_state=None):
-        cell_cls = nn.OptimizedLSTMCell if self.rnn_type == "LSTM" else nn.GRUCell
+        cell_cls = TorchLSTMCell if self.rnn_type == "LSTM" else nn.GRUCell
         carries = []
         for i in range(self.num_layers):
             cell = cell_cls(features=self.hidden_dim, name=f"{self.rnn_type.lower()}{i}")
