@@ -269,13 +269,19 @@ class SubgoalVAE(nn.Module):
         h = self.dec_mlp(jnp.concatenate([cond, z], axis=-1))
         return self.dec_heads(h)
 
-    def forward_train(self, subgoal_dict, obs_dict, goal_dict=None, train=False):
+    def forward_train(self, subgoal_dict, obs_dict, goal_dict=None, train=False,
+                      eps=None):
+        """``eps`` optionally injects the standard-normal encoder draw —
+        the determinism seam the GL_VAE/IRIS parity harnesses use
+        (tests/test_iris_parity.py)."""
         rng = self.make_rng("latent")
         cond = self._cond(obs_dict, goal_dict, train)
         flat_sg = self._flatten_subgoals(subgoal_dict)
         out = self.q_net(jnp.concatenate([cond, flat_sg], axis=-1))
         mu, logvar = jnp.split(out, 2, axis=-1)
-        z = mu + jnp.exp(0.5 * logvar) * jax.random.normal(rng, mu.shape)
+        if eps is None:
+            eps = jax.random.normal(rng, mu.shape)
+        z = mu + jnp.exp(0.5 * logvar) * eps
         recons = self.decode(z, cond)
         recon_loss = sum(
             jnp.mean((recons[k] - subgoal_dict[k]) ** 2) for k, _ in
@@ -301,6 +307,24 @@ class SubgoalVAE(nn.Module):
 
 class GL_VAE(GL):
     """VAE subgoal planner (reference gl.py:257-499)."""
+
+    # Optional determinism seam for the parity harness: a zero-arg callable
+    # returning the encoder's standard-normal eps (tests/test_iris_parity.py)
+    _noise_hook = None
+
+    def train_on_batch(self, batch, epoch, validate=False):
+        jbatch = _device_batch(batch)
+        jbatch["subgoals"] = {
+            k: jnp.asarray(v) for k, v in batch["subgoals"].items()
+        }
+        self.ensure_state(jbatch)
+        if self._train_step_jit is None:
+            self._train_step_jit = self._build_train_step()
+        eps = self._noise_hook() if self._noise_hook is not None else None
+        self.state, metrics = self._train_step_jit(
+            self.state, jbatch, validate, eps
+        )
+        return {"losses": metrics}
 
     def _create_networks(self):
         self.nets["goal_network"] = SubgoalVAE(
@@ -336,7 +360,7 @@ class GL_VAE(GL):
         kl_weight = float(self.algo_config.vae.kl_weight)
         import optax
 
-        def step(state, batch, validate):
+        def step(state, batch, validate, eps):
             rng, r1 = jax.random.split(state.rng)
 
             def loss_fn(params):
@@ -347,7 +371,7 @@ class GL_VAE(GL):
                      **state.aux["goal_network"]},
                     subgoals, obs, goal_dict=_goal_of(batch),
                     rngs={"latent": r1},
-                    method=net.forward_train,
+                    method=net.forward_train, eps=eps,
                 )
                 loss = out["reconstruction_loss"] + kl_weight * out["kl_loss"]
                 return loss, OrderedDict(
