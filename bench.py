@@ -121,7 +121,7 @@ def _harvest_flagship(child, out_f, err_f, result_path, deadline, result):
 
 
 _STATE = {"result": {}, "printed": False, "child_result_path": None,
-           "child": None}
+           "child": None, "phase": "startup"}
 
 
 def _emit(result):
@@ -172,7 +172,10 @@ def _watchdog(deadline_monotonic):
         result.setdefault("unit", "chunks/sec/chip")
         result.setdefault("vs_baseline", None)
         result["watchdog"] = (
-            "main thread still compiling at deadline; partial results"
+            f"main thread stuck in phase '{_STATE.get('phase')}' at "
+            "deadline; partial results (a hang before 'device_warmup' "
+            "completes usually means the TPU tunnel/backend is "
+            "unreachable, not a slow compile)"
         )
         _emit(result)
         child = _STATE["child"]
@@ -200,6 +203,7 @@ def main():
         _STATE["child"] = child
         _STATE["child_result_path"] = result_path
 
+    _STATE["phase"] = "importing_jax"
     import jax
     import jax.numpy as jnp
 
@@ -208,6 +212,11 @@ def main():
     )
 
     enable_compile_cache()
+    _STATE["phase"] = "device_warmup"
+    # first device contact: a hang HERE (not in a compile) indicates a
+    # wedged tunnel/backend and is named as such in the watchdog line
+    jnp.zeros(()).block_until_ready()
+    _STATE["phase"] = "tokenizer_bench"
 
     from robot_manipulation_vq_vae_tpu.models.tokenizers import LipVQVAE
 
