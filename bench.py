@@ -322,6 +322,7 @@ def main():
         np.random.RandomState(0).randn(BATCH, FEATURE_DIM).astype(np.float32)
     )
 
+    _STATE["phase"] = "tokenizer_timing"
     # 101 iters keeps the measured window ~60ms (plenty vs the ~us-level
     # timer noise after differencing) without the compile+execute cost the
     # old 401-iteration chain paid out of the child's budget.
@@ -351,6 +352,7 @@ def main():
 
     if child is not None:
         # leave ~10s of the budget for harvest + print
+        _STATE["phase"] = "flagship_harvest"
         deadline = bench_start + budget - 10.0
         _harvest_flagship(child, out_f, err_f, result_path, deadline, result)
         # opportunistic serving-latency leg: only when the flagship landed
@@ -361,6 +363,7 @@ def main():
             "flagship_train_steps_per_sec" in result
             and deadline - time.perf_counter() > 120.0
         ):
+            _STATE["phase"] = "infer_leg"
             _run_infer_leg(deadline, result)
     _emit(result)
 

@@ -199,6 +199,51 @@ class BCQ(PolicyAlgo):
             ]
         )
 
+    def _actor_phase(self, state, gates, metrics, new_params, new_opts,
+                     sampler_for_critic, obs, rng, z, q_fn, tau):
+        """Shared perturbation-actor update for the standard and
+        distributional step builders (reference bcq.py:340-388 + 600-620):
+        sample 1 candidate per obs from the post-step sampler, perturb
+        with the LIVE actor, maximize critic0's (expected) Q via ``q_fn``,
+        gate on the actor epoch window, and polyak the target actor.
+        Mutates metrics/new_params/new_opts in place."""
+        import optax
+
+        actor_net = self.nets["actor"]
+        r_a = jax.random.fold_in(rng, 7)
+        tiled_obs, cand_obs = self._sample_actions(
+            sampler_for_critic, state.aux["action_sampler"], obs, r_a, 1, z=z
+        )
+
+        def gate(flag, a, old):
+            return jax.tree_util.tree_map(
+                lambda x, y: jnp.where(flag, x, y), a, old
+            )
+
+        def a_loss(p):
+            perturbed = actor_net.apply(
+                {"params": p, **state.aux["actor"]},
+                tiled_obs, jax.lax.stop_gradient(cand_obs), train=True,
+            )
+            return -jnp.mean(q_fn(tiled_obs, perturbed))
+
+        actor_loss, g_a = jax.value_and_grad(a_loss)(state.params["actor"])
+        metrics["actor/loss"] = actor_loss
+        updates, o = self.optimizers["actor"].update(
+            g_a, state.opt_states["actor"], state.params["actor"]
+        )
+        new_params["actor"] = gate(
+            gates["actor"],
+            optax.apply_updates(state.params["actor"], updates),
+            state.params["actor"],
+        )
+        new_opts["actor"] = gate(gates["actor"], o, state.opt_states["actor"])
+        new_params["actor_target"] = gate(
+            gates["actor"],
+            polyak(state.params["actor_target"], new_params["actor"], tau),
+            state.params["actor_target"],
+        )
+
     def _build_train_step(self):
         cfg = self.algo_config
         n = self.n_critics
@@ -325,51 +370,18 @@ class BCQ(PolicyAlgo):
 
             # ---- perturbation actor update: maximize Q(s, a + delta(a))
             if self.actor_enabled:
-                actor_net = self.nets["actor"]
-                r_a = jax.random.fold_in(rng, 7)
-                tiled_obs, cand_obs = self._sample_actions(
-                    sampler_for_critic,
-                    state.aux["action_sampler"], obs, r_a, 1,
-                    z=_eps("actor"),
-                )
                 c0_for_actor = (
                     state.params["critic0"] if validate
                     else new_params["critic0"]
                 )
-
-                def a_loss(p):
-                    perturbed = actor_net.apply(
-                        {"params": p, **state.aux["actor"]},
-                        tiled_obs, jax.lax.stop_gradient(cand_obs),
-                        train=True,
-                    )
-                    q = apply_net(
-                        critics[0], c0_for_actor,
-                        state.aux["critic0"], tiled_obs, perturbed,
-                    )
-                    return -jnp.mean(q)
-
-                actor_loss, g_a = jax.value_and_grad(a_loss)(
-                    state.params["actor"]
-                )
-                metrics["actor/loss"] = actor_loss
-                updates, o = opts["actor"].update(
-                    g_a, state.opt_states["actor"], state.params["actor"]
-                )
-                new_params["actor"] = gate(
-                    gates["actor"],
-                    optax.apply_updates(state.params["actor"], updates),
-                    state.params["actor"],
-                )
-                new_opts["actor"] = gate(
-                    gates["actor"], o, state.opt_states["actor"]
-                )
-                new_params["actor_target"] = gate(
-                    gates["actor"],
-                    polyak(
-                        state.params["actor_target"], new_params["actor"], tau
+                self._actor_phase(
+                    state, gates, metrics, new_params, new_opts,
+                    sampler_for_critic, obs, rng, _eps("actor"),
+                    q_fn=lambda t_obs, acts: apply_net(
+                        critics[0], c0_for_actor, state.aux["critic0"],
+                        t_obs, acts,
                     ),
-                    state.params["actor_target"],
+                    tau=tau,
                 )
 
             def choose(new, old):
@@ -565,12 +577,10 @@ class BCQ_Distributional(BCQ):
     def _build_train_step(self):
         cfg = self.algo_config
         critic = self.nets["critic0"]
-        sampler = self.nets["action_sampler"]
         opts = self.optimizers
         discount = float(cfg.discount) ** int(cfg.n_step)
         tau = float(cfg.target_tau)
         n_samples = int(cfg.critic.num_action_samples)
-        kl_weight = float(cfg.action_sampler.vae.kl_weight)
         import optax
 
         def step(state, batch, gates, eps, validate):
@@ -594,16 +604,11 @@ class BCQ_Distributional(BCQ):
                 )
 
             # --- sampler (cVAE) update, as in BCQ
-            def s_loss(p):
-                out = sampler.apply(
-                    {"params": p, **state.aux["action_sampler"]}, acts, obs,
-                    rngs={"latent": r_lat}, method=sampler.forward_train,
-                    eps=_eps("enc"),
-                )
-                return out["reconstruction_loss"] + kl_weight * out["kl_loss"]
-
-            s_l, g_s = jax.value_and_grad(s_loss)(state.params["action_sampler"])
-            metrics["action_sampler/loss"] = s_l
+            (s_l, s_metrics), g_s = jax.value_and_grad(
+                self._sampler_loss, has_aux=True
+            )(state.params["action_sampler"], state, obs, acts, r_lat,
+              _eps("enc"))
+            metrics.update(s_metrics)
             updates, o = opts["action_sampler"].update(
                 g_s, state.opt_states["action_sampler"],
                 state.params["action_sampler"],
@@ -689,53 +694,21 @@ class BCQ_Distributional(BCQ):
 
             # --- perturbation actor: maximize expected Q(s, a + delta(a))
             # (inherited reference behavior — _train_actor_on_batch runs
-            # for the distributional variant too when actor.enabled)
+            # for the distributional variant too when actor.enabled; the
+            # C51 critic's __call__ already returns the expected value)
             if self.actor_enabled:
-                actor_net = self.nets["actor"]
-                r_a = jax.random.fold_in(rng, 7)
-                tiled_obs, cand_obs = self._sample_actions(
-                    sampler_for_critic,
-                    state.aux["action_sampler"], obs, r_a, 1,
-                    z=_eps("actor"),
-                )
                 c0_for_actor = (
                     state.params["critic0"] if validate
                     else new_params["critic0"]
                 )
-
-                def a_loss(p):
-                    perturbed = actor_net.apply(
-                        {"params": p, **state.aux["actor"]},
-                        tiled_obs, jax.lax.stop_gradient(cand_obs),
-                        train=True,
-                    )
-                    q = critic.apply(
+                self._actor_phase(
+                    state, gates, metrics, new_params, new_opts,
+                    sampler_for_critic, obs, rng, _eps("actor"),
+                    q_fn=lambda t_obs, a: critic.apply(
                         {"params": c0_for_actor, **state.aux["critic0"]},
-                        tiled_obs, perturbed,
-                    )
-                    return -jnp.mean(q)
-
-                actor_loss, g_a = jax.value_and_grad(a_loss)(
-                    state.params["actor"]
-                )
-                metrics["actor/loss"] = actor_loss
-                updates, o = opts["actor"].update(
-                    g_a, state.opt_states["actor"], state.params["actor"]
-                )
-                new_params["actor"] = gate(
-                    gates["actor"],
-                    optax.apply_updates(state.params["actor"], updates),
-                    state.params["actor"],
-                )
-                new_opts["actor"] = gate(
-                    gates["actor"], o, state.opt_states["actor"]
-                )
-                new_params["actor_target"] = gate(
-                    gates["actor"],
-                    polyak(
-                        state.params["actor_target"], new_params["actor"], tau
+                        t_obs, a,
                     ),
-                    state.params["actor_target"],
+                    tau=tau,
                 )
 
             def choose(new, old):

@@ -161,8 +161,15 @@ class GL(PlannerAlgo):
         self.ensure_state(jbatch)
         if self._train_step_jit is None:
             self._train_step_jit = self._build_train_step()
-        self.state, metrics = self._train_step_jit(self.state, jbatch, validate)
+        self.state, metrics = self._train_step_jit(
+            self.state, jbatch, validate, *self._extra_step_args(epoch)
+        )
         return {"losses": metrics}
+
+    def _extra_step_args(self, epoch):
+        """Plain GL's step is fully deterministic; GL_VAE appends its
+        injected-noise seam here."""
+        return ()
 
     def log_info(self, info):
         log = OrderedDict((k, float(v)) for k, v in info["losses"].items())
@@ -312,19 +319,8 @@ class GL_VAE(GL):
     # returning the encoder's standard-normal eps (tests/test_iris_parity.py)
     _noise_hook = None
 
-    def train_on_batch(self, batch, epoch, validate=False):
-        jbatch = _device_batch(batch)
-        jbatch["subgoals"] = {
-            k: jnp.asarray(v) for k, v in batch["subgoals"].items()
-        }
-        self.ensure_state(jbatch)
-        if self._train_step_jit is None:
-            self._train_step_jit = self._build_train_step()
-        eps = self._noise_hook() if self._noise_hook is not None else None
-        self.state, metrics = self._train_step_jit(
-            self.state, jbatch, validate, eps
-        )
-        return {"losses": metrics}
+    def _extra_step_args(self, epoch):
+        return (self._noise_hook() if self._noise_hook is not None else None,)
 
     def _create_networks(self):
         self.nets["goal_network"] = SubgoalVAE(

@@ -223,7 +223,11 @@ class VAEActor(nn.Module):
         }
 
     def __call__(self, obs_dict, goal_dict=None, train=False, z=None):
-        """Sample an action by decoding a prior sample (eval path)."""
+        """Sample an action by decoding a prior sample (eval path).
+
+        An injected ``z`` is a stand-in for the prior draw (the BCQ parity
+        seam), so ``latent_clip`` applies to it exactly as the reference's
+        ``VAE.sample`` clamps every prior sample (vae_nets.py:421-422)."""
         obs_feat = self._obs_feat(obs_dict, goal_dict, train)
         if z is None:
             rng = self.make_rng("latent")
@@ -235,23 +239,23 @@ class VAEActor(nn.Module):
                 z = jax.nn.one_hot(idx, self.prior_categorical_dim).reshape(
                     batch, -1
                 )
+                return self.decode(z, obs_feat)
+            prior = self._prior_params(obs_feat)
+            if prior is None:
+                z = jax.random.normal(rng, (batch, self.latent_dim))
             else:
-                prior = self._prior_params(obs_feat)
-                if prior is None:
-                    z = jax.random.normal(rng, (batch, self.latent_dim))
-                else:
-                    means, logvars, logw = prior
-                    r1, r2 = jax.random.split(rng)
-                    mode = jax.random.categorical(r1, logw, axis=-1)
-                    mean = jnp.take_along_axis(
-                        means, mode[:, None, None], axis=1
-                    ).squeeze(1)
-                    logvar = jnp.take_along_axis(
-                        logvars, mode[:, None, None], axis=1
-                    ).squeeze(1)
-                    z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
-                        r2, mean.shape
-                    )
-                if self.latent_clip is not None:
-                    z = jnp.clip(z, -self.latent_clip, self.latent_clip)
+                means, logvars, logw = prior
+                r1, r2 = jax.random.split(rng)
+                mode = jax.random.categorical(r1, logw, axis=-1)
+                mean = jnp.take_along_axis(
+                    means, mode[:, None, None], axis=1
+                ).squeeze(1)
+                logvar = jnp.take_along_axis(
+                    logvars, mode[:, None, None], axis=1
+                ).squeeze(1)
+                z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                    r2, mean.shape
+                )
+        if self.latent_clip is not None:
+            z = jnp.clip(z, -self.latent_clip, self.latent_clip)
         return self.decode(z, obs_feat)

@@ -3,8 +3,11 @@
 goal-conditioned BC_RNN actor trained as one hierarchical algo, in both
 "separate" (dataset subgoals) and "cascade" (planner-predicted subgoals)
 modes — from transplanted-identical weights on identical batches. This is
-also the first optimizer-trajectory coverage of the LSTM stack
-(torch nn.LSTM -> flax OptimizedLSTMCell gate-for-gate transplant).
+also the first optimizer-trajectory coverage of the LSTM stack: the
+torch nn.LSTM transplants gate-for-gate into our TorchLSTMCell, whose
+redundant b_ih/b_hh double-bias parametrization exists precisely because
+a fused-single-bias cell (flax OptimizedLSTMCell) sees HALF torch's
+effective Adam step on the gate biases and cannot track trajectories.
 
 Goal-conditioning note (documented divergence, PARITY.md): the reference
 HBC writes the actor's goal modalities to a dead top-level config key
