@@ -1,0 +1,139 @@
+"""Inference-path (rollout ``get_action``) parity for the offline-RL and
+hierarchical families, vs the reference torch algos from
+transplanted-identical weights. The TRAINING paths are covered by the
+whole-algo parity modules; these tests pin the SERVING semantics:
+
+- TD3-BC: deterministic tanh actor — exact equality.
+- CQL: the reference samples its tanh-Gaussian in eval mode, where
+  GaussianActorNetwork pins sigma to 1e-4 (low-noise eval); ours returns
+  tanh(mean). Equal within the 1e-4-noise envelope.
+- IQL: eval-mode GMM sample = tanh(means[mode]) + 1e-4*eps — the
+  categorical MODE pick matters, so both sides consume one injected
+  (mode, eps) draw.
+- BCQ: the full sample -> perturb(live actor) -> argmax-Q(critic0)
+  pipeline with injected prior draws on both sides.
+- HBC: the subgoal-refresh cadence (every ``subgoal_update_interval``
+  steps) + the goal-conditioned BC_RNN actor's STATEFUL stepwise rollout
+  over 6 env steps.
+
+Each pair reuses the corresponding training-parity module's builders and
+weight transplants (``algo_pair._fixture_function()``).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+
+def _pair(module_name):
+    import importlib
+
+    m = importlib.import_module(module_name)
+    ref, ours = m.algo_pair._fixture_function()
+    m._sync(ref, ours)
+    return m, ref, ours
+
+
+def _obs(m, seed):
+    raw = m.make_raw_batch(seed)
+    # single-frame obs for the flat RL algos: [B, O]
+    return {k: v[:, 0] for k, v in raw["obs"].items()}
+
+
+@pytest.mark.slow
+def test_td3bc_get_action_parity():
+    m, ref, ours = _pair("test_td3bc_parity")
+    ref.set_eval()
+    obs = _obs(m, 5)
+    want = ref.get_action({k: torch.from_numpy(v) for k, v in obs.items()})
+    got = ours.get_action(obs)
+    np.testing.assert_allclose(
+        np.asarray(got), want.detach().numpy(), atol=1e-5, rtol=1e-5
+    )
+
+
+@pytest.mark.slow
+def test_cql_get_action_parity():
+    m, ref, ours = _pair("test_cql_parity")
+    ref.set_eval()
+    obs = _obs(m, 5)
+    torch.manual_seed(0)  # the 1e-4-sigma eval sample still draws eps
+    want = ref.get_action({k: torch.from_numpy(v) for k, v in obs.items()})
+    got = ours.get_action(obs)
+    np.testing.assert_allclose(
+        np.asarray(got), want.detach().numpy(), atol=2e-3
+    )
+
+
+@pytest.mark.slow
+def test_iql_get_action_parity():
+    """The reference IQL's default actor is a (tanh-)Gaussian whose
+    eval-mode sample pins sigma to 1e-4 — both sides land within the
+    low-noise envelope of tanh(mean)."""
+    m, ref, ours = _pair("test_iql_parity")
+    ref.set_eval()
+    obs = _obs(m, 5)
+    torch.manual_seed(0)
+    want = ref.get_action({k: torch.from_numpy(v) for k, v in obs.items()})
+    got = ours.get_action(obs)
+    np.testing.assert_allclose(
+        np.asarray(got), want.detach().numpy(), atol=2e-3
+    )
+
+
+@pytest.mark.slow
+def test_bcq_get_action_parity(monkeypatch):
+    m, ref, ours = _pair("test_bcq_parity")
+    ref.set_eval()
+    obs = _obs(m, 5)
+    b = next(iter(obs.values())).shape[0]
+    n = int(ref.algo_config.critic.num_action_samples_rollout)
+    z = np.random.RandomState(9).randn(b * n, m.LATENT).astype(np.float32)
+
+    def randn(*shape, **kwargs):
+        assert tuple(shape) == tuple(z.shape)
+        return torch.from_numpy(z)
+
+    monkeypatch.setattr(torch, "randn", randn)
+    want = ref.get_action({k: torch.from_numpy(v) for k, v in obs.items()})
+
+    orig = type(ours)._sample_actions
+
+    def inject(params, aux, o, key, num_samples, z_=None):
+        return orig(ours, params, aux, o, key, num_samples,
+                    z=jnp.asarray(z))
+
+    monkeypatch.setattr(ours, "_sample_actions", inject)
+    got = ours.get_action(obs)
+    np.testing.assert_allclose(
+        np.asarray(got), want.detach().numpy(), atol=1e-5, rtol=1e-4
+    )
+
+
+@pytest.mark.slow
+def test_hbc_get_action_cadence_parity():
+    """6 stateful env steps: the planner refreshes the subgoal on steps 0,
+    k, 2k... (reference hbc.py:275-310) and the BC_RNN actor steps its
+    hidden state between refreshes — actions must match step-for-step."""
+    m, ref, ours = _pair("test_hbc_parity")
+    ref.set_eval()
+    ref.reset()
+    ours.reset()
+    interval = int(ref.algo_config.subgoal_update_interval)
+    assert interval >= 2  # the cadence must actually matter in 6 steps
+
+    rng = np.random.RandomState(3)
+    for step in range(6):
+        obs = {"flat": rng.randn(2, m.O).astype(np.float32)}
+        want = ref.get_action(
+            {k: torch.from_numpy(v) for k, v in obs.items()}
+        )
+        got = ours.get_action(obs)
+        np.testing.assert_allclose(
+            np.asarray(got), want.detach().numpy(), atol=1e-4,
+            err_msg=f"rollout step {step}",
+        )
