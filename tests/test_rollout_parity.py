@@ -137,3 +137,60 @@ def test_hbc_get_action_cadence_parity():
             np.asarray(got), want.detach().numpy(), atol=1e-4,
             err_msg=f"rollout step {step}",
         )
+
+
+@pytest.mark.slow
+def test_iris_get_subgoal_predictions_parity(monkeypatch):
+    """IRIS serving path: the ValuePlanner samples N subgoals from the
+    GL_VAE prior and ranks them by the BCQ value network's best-Q-over-
+    candidates state value (reference gl.py:702-736) — with the prior and
+    candidate draws injected identically on both sides, the selected
+    subgoal must match exactly."""
+    from robot_manipulation_vq_vae_tpu.algo.gl import SubgoalVAE
+
+    m, ref, ours = _pair("test_iris_parity")
+    ref.set_eval()
+    obs = {"flat": np.random.RandomState(4).randn(2, m.O).astype(np.float32)}
+    b = 2
+    n_vp = int(ref.algo_config.value_planner.num_samples)
+    n_act = int(
+        ref.algo_config.value_planner.value.critic.num_action_samples_rollout
+    )
+    rng = np.random.RandomState(40)
+    z_gl = rng.randn(b * n_vp, m.GL_LATENT).astype(np.float32)
+    z_bcq = rng.randn(b * n_vp * n_act, m.BCQ_LATENT).astype(np.float32)
+
+    queue = [z_gl, z_bcq]
+
+    def randn(*shape, **kwargs):
+        t = torch.from_numpy(queue.pop(0))
+        assert tuple(t.shape) == tuple(shape)
+        return t
+
+    monkeypatch.setattr(torch, "randn", randn)
+    # the reference exposes subgoal prediction only on the ValuePlanner
+    # (its HBC/IRIS never override the base PlannerAlgo stub)
+    want = ref.planner.get_subgoal_predictions(
+        {k: torch.from_numpy(v) for k, v in obs.items()}
+    )
+    assert not queue
+
+    def pinned_call(self, obs_dict, goal_dict=None, train=False):
+        cond = self._cond(obs_dict, goal_dict, train)
+        return self.decode(jnp.asarray(z_gl), cond)
+
+    monkeypatch.setattr(SubgoalVAE, "__call__", pinned_call)
+    value_net = ours.planner.value_net
+    orig_sample = type(value_net)._sample_actions
+
+    def inject(params, aux, o, key, num_samples, z=None):
+        return orig_sample(value_net, params, aux, o, key, num_samples,
+                           z=jnp.asarray(z_bcq))
+
+    monkeypatch.setattr(value_net, "_sample_actions", inject)
+    got = ours.get_subgoal_predictions(obs)
+    for k in want:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), want[k].detach().numpy(), atol=1e-5,
+            rtol=1e-4, err_msg=k,
+        )
