@@ -447,3 +447,61 @@ def report_unmapped(sd, consumed_prefixes):
         k for k in sd
         if not any(k.startswith(pref) for pref in consumed_prefixes)
     ]
+
+
+# ---------------------------------------------------------------------------
+# optimizer-state migration: continue a half-trained torch run in optax
+# ---------------------------------------------------------------------------
+
+def convert_torch_adam_moments(opt_sd, param_names, convert_fn):
+    """torch.optim.Adam/AdamW ``state_dict()`` -> ``(count, mu, nu)`` in
+    this framework's parameter layout, for exact mid-training migration.
+
+    ``param_names`` is ``[n for n, _ in net.named_parameters()]`` in
+    construction order — torch keys its optimizer state by the parameter's
+    INDEX in that order. ``convert_fn`` is the module's weight converter (a
+    function of a name->array mapping). Every converter in this file is
+    built from transposes / slices / concatenations / permutations —
+    linear, degree-1-homogeneous index operations — so Adam's ``exp_avg``
+    and ``exp_avg_sq`` transform into the new layout exactly like the
+    weights themselves, and the migrated optimizer continues the torch
+    trajectory (verified end-to-end by
+    ``tests/test_icl_parity.py::test_icl_hvqvae_midtraining_migration``).
+    """
+    state = opt_sd["state"]
+    order = [pid for g in opt_sd["param_groups"] for pid in g["params"]]
+    assert len(order) == len(param_names), (
+        f"{len(order)} optimizer slots vs {len(param_names)} named params"
+    )
+    sd_mu, sd_nu, count = {}, {}, None
+    for idx, name in zip(order, param_names):
+        s = state[idx]
+        sd_mu[name] = np.asarray(s["exp_avg"]).copy()
+        sd_nu[name] = np.asarray(s["exp_avg_sq"]).copy()
+        step = int(s["step"])
+        assert count in (None, step), "per-param step counts diverge"
+        count = step
+    return count, convert_fn(sd_mu), convert_fn(sd_nu)
+
+
+def graft_adam_moments(opt_state, count, mu, nu):
+    """Replace every ``optax.ScaleByAdamState`` inside an opt-state pytree
+    (whatever chain wraps it — weight decay, clipping, lr scale) with the
+    migrated ``(count, mu, nu)``."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    def visit(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(
+                count=jnp.asarray(count, jnp.int32),
+                mu=jax.tree_util.tree_map(jnp.asarray, mu),
+                nu=jax.tree_util.tree_map(jnp.asarray, nu),
+            )
+        return node
+
+    return jax.tree_util.tree_map(
+        visit, opt_state,
+        is_leaf=lambda n: isinstance(n, optax.ScaleByAdamState),
+    )

@@ -126,14 +126,43 @@ def algo_pair():
     return ref, ours
 
 
-def torch_icl_to_flax(ref):
-    """Map the reference algo's full state into (params, aux) trees."""
-    sd = {k: v.detach().numpy().copy() for k, v in ref.nets.state_dict().items()}
+def _policy_convert(sd):
+    """Policy-subtree converter over a name->array mapping (weights OR
+    Adam moments — the mapping is pure transposes, so both transform
+    identically)."""
     cfg_view = {
         "algo": {"transformer": {"num_layers": N_LAYERS}},
         "observation": {"modalities": {"obs": {"rgb": []}}},
     }
     pol_params, _ = convert_transformer_actor(sd, cfg_view, prefix="policy.")
+    return pol_params
+
+
+def _vq_param_convert(sd):
+    """HVQVAE PARAM-only converter (no vq buffers) over a name->array
+    mapping — the moments counterpart of test_hvqvae_parity.torch_to_flax."""
+    enc = {
+        "input_projection": {
+            "kernel": sd["encoder.input_projection.weight"].T,
+            "bias": sd["encoder.input_projection.bias"],
+        },
+        "ln": {"scale": sd["encoder.ln.weight"], "bias": sd["encoder.ln.bias"]},
+    }
+    enc.update(thp._mstcn_params("encoder", sd, thp.STAGES, thp.LAYERS))
+    dec = {
+        "output_projection": {
+            "kernel": sd["decoder.output_projection.weight"].T,
+            "bias": sd["decoder.output_projection.bias"],
+        }
+    }
+    dec.update(thp._mstcn_params("decoder", sd, thp.STAGES, thp.LAYERS))
+    return {"encoder": enc, "decoder": dec}
+
+
+def torch_icl_to_flax(ref):
+    """Map the reference algo's full state into (params, aux) trees."""
+    sd = {k: v.detach().numpy().copy() for k, v in ref.nets.state_dict().items()}
+    pol_params = _policy_convert(sd)
     vq_vars = thp.torch_to_flax(ref.nets["vqvae"])
     # jnp.array(copy=True): torch mutates its buffers in place (optimizers,
     # EMA); on CPU jnp.asarray may zero-copy the shared numpy views, which
@@ -244,3 +273,85 @@ def test_icl_hvqvae_training_trajectory_parity(algo_pair):
         )
     # the dead-code replacement precondition held on both sides
     assert float(jnp.min(ours_vq["cluster_size_z"])) > 1.0
+
+
+@pytest.mark.slow
+def test_icl_hvqvae_midtraining_migration(algo_pair):
+    """Exact MID-TRAINING migration torch -> TPU: train the reference for
+    6 steps, convert its weights AND both optimizers' Adam moments
+    (`ckpt_conversion.convert_torch_adam_moments` — the weight converters
+    are pure index maps, so exp_avg/exp_avg_sq transform identically),
+    graft them into fresh optax states, then run 6 MORE steps in each
+    framework on identical batches: the final parameters must track as if
+    the whole 12-step run had happened in one framework."""
+    from robot_manipulation_vq_vae_tpu.utils.ckpt_conversion import (
+        convert_torch_adam_moments,
+        graft_adam_moments,
+    )
+
+    ref, ours = algo_pair
+    _sync(ref, ours)
+    ref.set_train()
+
+    # phase 1: 6 reference-only steps
+    for i in range(6):
+        ref.train_on_batch(
+            ref.process_batch_for_training(_to_torch(make_raw_batch(300 + i))),
+            epoch=1, validate=False,
+        )
+
+    # migrate: weights + EMA state + optimizer moments
+    params, vq = torch_icl_to_flax(ref)
+    aux = dict(ours.state.aux)
+    aux["vqvae"] = {"vq": vq}
+    pol_names = [
+        "policy." + n for n, _ in ref.nets["policy"].named_parameters()
+    ]
+    c_p, mu_p, nu_p = convert_torch_adam_moments(
+        ref.optimizers["policy"].state_dict(), pol_names, _policy_convert
+    )
+    vq_names = [n for n, _ in ref.nets["vqvae"].named_parameters()]
+    c_v, mu_v, nu_v = convert_torch_adam_moments(
+        ref.optimizers["vqvae"].state_dict(), vq_names, _vq_param_convert
+    )
+    # the module-scoped ref may have trained in earlier tests; migration
+    # works from ANY midpoint — the step counts just have to agree
+    assert c_p >= 6 and c_p == c_v
+    opt_states = dict(ours.state.opt_states)
+    opt_states["policy"] = graft_adam_moments(
+        ours.optimizers["policy"].init(params["policy"]), c_p, mu_p, nu_p
+    )
+    opt_states["vqvae"] = graft_adam_moments(
+        ours.optimizers["vqvae"].init(params["vqvae"]), c_v, mu_v, nu_v
+    )
+    ours.state = ours.state.replace(
+        params=params, aux=aux, opt_states=opt_states
+    )
+
+    # phase 2: 6 further steps in EACH framework on identical batches
+    for i in range(6):
+        raw = make_raw_batch(400 + i)
+        ref.train_on_batch(
+            ref.process_batch_for_training(_to_torch(raw)), epoch=1,
+            validate=False,
+        )
+        ours.train_on_batch(
+            ours.process_batch_for_training(raw), epoch=1, validate=False
+        )
+
+    final_params, final_vq = torch_icl_to_flax(ref)
+    flat_o = jax.tree_util.tree_leaves_with_path(ours.state.params)
+    flat_r = dict(jax.tree_util.tree_leaves_with_path(final_params))
+    assert len(flat_o) == len(flat_r)
+    for path, leaf in flat_o:
+        assert_mostly_close(
+            leaf, flat_r[path], atol=5e-4, frac=0.995, max_abs=2e-2,
+            msg=f"post-migration divergence: {jax.tree_util.keystr(path)}",
+        )
+    ours_vq = ours.state.aux["vqvae"]["vq"]
+    for key in ("codebook_z", "codebook_q", "cluster_size_z",
+                "cluster_size_q", "embed_avg_z", "embed_avg_q"):
+        assert_mostly_close(
+            ours_vq[key], final_vq[key], atol=1.5e-2, frac=0.99, max_abs=0.05,
+            msg=f"post-migration EMA state {key}",
+        )
