@@ -222,3 +222,40 @@ def test_vqvae_reconstruction_parity(reference_setup, tmp_path):
         np.asarray(out["reconstructed_actions"]), ref_recon,
         atol=2e-4, rtol=1e-3,
     )
+
+
+@pytest.mark.slow
+def test_convert_torch_checkpoint_cli(reference_setup, tmp_path):
+    """The conversion CLI writes a .ckpt that loads through
+    policy_from_checkpoint(ckpt_path=...) with identical actions to the
+    in-memory conversion path."""
+    from robot_manipulation_vq_vae_tpu.scripts.conversion import (
+        convert_torch_checkpoint as cli,
+    )
+    from robot_manipulation_vq_vae_tpu.utils import file_utils as FileUtils
+
+    ref_algo, config, shapes = reference_setup
+    path = make_pth_dict(ref_algo, config, shapes, tmp_path)
+    out = str(tmp_path / "converted.ckpt")
+    cli.main(["--pth", str(path), "--output", out])
+
+    policy, _ = FileUtils.policy_from_checkpoint(ckpt_path=out)
+    policy_mem, _ = _jax_algo_from_pth(path)
+
+    rng = np.random.RandomState(7)
+    low_dim = {
+        k: rng.randn(B, H, *s).astype(np.float32) for k, s in OBS_KEYS.items()
+    }
+    obs_j = dict(low_dim)
+    obs_j["lang_emb"] = rng.randn(B, H, LANG_DIM).astype(np.float32)
+    obs_j["robot0_agentview_image"] = rng.rand(B, H, 32, 32, 3).astype(
+        np.float32
+    )
+    ctx_actions = rng.randn(B, H, A).astype(np.float32)
+    a_file = np.asarray(policy.policy.get_action(
+        obs_j, context_batch={"actions": ctx_actions}
+    ))
+    a_mem = np.asarray(policy_mem.policy.get_action(
+        obs_j, context_batch={"actions": ctx_actions}
+    ))
+    np.testing.assert_allclose(a_file, a_mem, atol=1e-6)
