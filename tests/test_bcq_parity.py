@@ -23,7 +23,6 @@ obs-features first — the transplant permutes first-layer kernel rows
 accordingly.
 """
 
-from collections import OrderedDict
 
 import numpy as np
 import pytest

@@ -22,7 +22,6 @@ Everything is deterministic (plain GL planner, no VAE; LSTM actor; no
 randomized subgoal indices), so no noise injection is needed.
 """
 
-from collections import OrderedDict
 
 import numpy as np
 import pytest

@@ -18,7 +18,6 @@ so its validate path crashes under ``maybe_no_grad`` — dead upstream code
 covered by the e2e matrix.
 """
 
-from collections import OrderedDict
 
 import numpy as np
 import pytest

@@ -16,7 +16,6 @@ convert_transformer_actor`, the same mapping the flagship `.pth` interop
 test exercises) and the HVQVAE mapping from `test_hvqvae_parity`.
 """
 
-from collections import OrderedDict
 
 import numpy as np
 import pytest

@@ -13,7 +13,6 @@ sets ``observation.actor.modalities.goal`` explicitly so both sides build
 the intended goal-conditioned actor.
 """
 
-from collections import OrderedDict
 
 import numpy as np
 import pytest

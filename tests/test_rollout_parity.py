@@ -23,7 +23,7 @@ weight transplants (``algo_pair._fixture_function()``).
 import numpy as np
 import pytest
 
-import jax
+
 import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
