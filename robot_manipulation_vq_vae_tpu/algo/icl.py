@@ -559,11 +559,21 @@ class ICLRNN_GMM(ICLRNN):
             )(state.params)
             metrics = dict(losses)
             metrics["policy_grad_norms"] = optax.global_norm(grads["policy"])
-            updates, new_opt = opt.update(
-                grads["policy"], state.opt_states["policy"],
-                state.params["policy"],
-            )
-            new_p = optax.apply_updates(state.params["policy"], updates)
+
+            def do_update(_):
+                updates, new_opt = opt.update(
+                    grads["policy"], state.opt_states["policy"],
+                    state.params["policy"],
+                )
+                return (
+                    optax.apply_updates(state.params["policy"], updates),
+                    new_opt,
+                )
+
+            def no_update(_):
+                return state.params["policy"], state.opt_states["policy"]
+
+            new_p, new_opt = jax.lax.cond(validate, no_update, do_update, None)
             new_aux = dict(state.aux)
             new_aux["policy"] = {**state.aux["policy"], **muts}
             return (
