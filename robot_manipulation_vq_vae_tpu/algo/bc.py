@@ -121,13 +121,18 @@ class BC_VAE(ICL):
         )
         return max(t, vae_cfg.prior.categorical_min_temp)
 
+    # Optional determinism seam for the parity harness: a zero-arg callable
+    # returning the cVAE encoder's standard-normal eps
+    # (tests/test_bc_parity.py).
+    _noise_hook = None
+
     def _build_train_step(self):
         policy = self.nets["policy"]
         opt = self.optimizers["policy"]
         kl_weight = float(self.algo_config.vae.kl_weight)
         import optax
 
-        def step(state, batch, validate, temperature):
+        def step(state, batch, validate, temperature, eps):
             rng, r1, r2, r3 = jax.random.split(state.rng, 4)
 
             def loss_fn(params):
@@ -139,7 +144,7 @@ class BC_VAE(ICL):
                     temperature=temperature,
                     mutable=mutable,
                     rngs={"latent": r1, "dropout": r2, "randomizer": r3},
-                    method=policy.forward_train,
+                    method=policy.forward_train, eps=eps,
                 )
                 losses = OrderedDict(
                     recons_loss=out["reconstruction_loss"],
@@ -190,8 +195,9 @@ class BC_VAE(ICL):
         self.ensure_state(batch)
         if self._train_step_jit is None:
             self._train_step_jit = self._build_train_step()
+        eps = self._noise_hook() if self._noise_hook is not None else None
         self.state, metrics = self._train_step_jit(
-            self.state, batch, validate, self._temperature(epoch)
+            self.state, batch, validate, self._temperature(epoch), eps
         )
         return {"losses": metrics}
 

@@ -286,3 +286,167 @@ def test_gl_subgoal_loss_and_trajectory_parity():
             leaf, flat_r[path], atol=5e-4, frac=0.995, max_abs=2e-2,
             msg=f"after 12 GL steps: {jax.tree_util.keystr(path)}",
         )
+
+
+# --------------------------------------------------------------------------
+# BC_VAE: the cVAE policy (reference bc.py:391-508) — the family member the
+# VAEActor tanh-squash fix directly affects
+# --------------------------------------------------------------------------
+
+BCVAE_LATENT = 14  # reference default vae.latent_dim
+
+
+@pytest.mark.slow
+def test_bc_vae_loss_and_trajectory_parity(monkeypatch):
+    """BC_VAE: ELBO (recon through the tanh action squash + analytic KL)
+    equal in validate mode under an injected identical encoder eps, and 12
+    Adam steps track — via the `BC_VAE._noise_hook` seam and a
+    monkeypatched `TorchUtils.reparameterize`."""
+    import importlib
+
+    def tune_vae(cfg):
+        cfg.algo.vae.enabled = True
+        cfg.algo.vae.encoder_layer_dims = list(LAYERS)
+        cfg.algo.vae.decoder_layer_dims = list(LAYERS)
+
+    # _build_pair closes over `mode`; replicate with vae knobs
+    load_reference_robomimic()
+    ensure_diffusers_stub()
+    from robomimic.config import config_factory as ref_config_factory
+    import robomimic.utils.obs_utils as RefObsUtils
+    from robomimic.algo import algo_factory as ref_algo_factory
+
+    rcfg = ref_config_factory("bc")
+    with rcfg.unlocked():
+        rcfg.observation.modalities.obs.low_dim = ["flat"]
+        rcfg.observation.modalities.obs.rgb = []
+        rcfg.algo.language_conditioned = False
+        rcfg.algo.actor_layer_dims = list(LAYERS)
+        rcfg.algo.optim_params.policy.learning_rate.initial = LR
+        rcfg.algo.optim_params.policy.learning_rate.scheduler_type = None
+        rcfg.algo.optim_params.policy.regularization.L2 = 0.0
+        tune_vae(rcfg)
+    rcfg.lock()
+    RefObsUtils.initialize_obs_utils_with_config(rcfg)
+    torch.manual_seed(0)
+    ref = ref_algo_factory(
+        "bc", rcfg, obs_key_shapes={"flat": (O,)}, ac_dim=A, device="cpu"
+    )
+
+    cfg = config_factory("bc")
+    with cfg.values_unlocked():
+        cfg.observation.modalities.obs.low_dim = ["flat"]
+        cfg.observation.modalities.obs.rgb = []
+        cfg.algo.actor_layer_dims = list(LAYERS)
+        cfg.algo.optim_params.policy.learning_rate.initial = LR
+        cfg.algo.optim_params.policy.learning_rate.scheduler_type = None
+        cfg.algo.optim_params.policy.regularization.L2 = 0.0
+        tune_vae(cfg)
+    cfg.lock()
+    ObsUtils.initialize_obs_utils_with_config(cfg)
+    ours = AlgoReg.algo_factory(
+        "bc", cfg, obs_key_shapes={"flat": (O,)}, ac_dim=A
+    )
+    assert type(ref).__name__ == "BC_VAE" and type(ours).__name__ == "BC_VAE"
+
+    def transplant():
+        """Same VAE mapping as tests/test_bcq_parity.py (the reference
+        encoder concatenates [action; obs], its decoder [latent; obs])."""
+        sd = {k: v.detach().numpy().copy()
+              for k, v in ref.nets.state_dict().items()}
+        vae = "policy._vae.nets"
+        q_net = {
+            "fc0": _lin(sd, f"{vae}.encoder.nets.mlp._model.0"),
+            "fc1": _lin(sd, f"{vae}.encoder.nets.mlp._model.2"),
+        }
+        k = q_net["fc0"]["kernel"]
+        q_net["fc0"]["kernel"] = jnp.concatenate([k[A:], k[:A]], axis=0)
+        mean = _lin(sd, f"{vae}.encoder.nets.decoder.nets.mean")
+        logvar = _lin(sd, f"{vae}.encoder.nets.decoder.nets.logvar")
+        q_net["out"] = {
+            "kernel": jnp.concatenate(
+                [mean["kernel"], logvar["kernel"]], axis=1
+            ),
+            "bias": jnp.concatenate([mean["bias"], logvar["bias"]]),
+        }
+        decoder = {
+            "fc0": _lin(sd, f"{vae}.decoder.nets.mlp._model.0"),
+            "fc1": _lin(sd, f"{vae}.decoder.nets.mlp._model.2"),
+            "out": _lin(sd, f"{vae}.decoder.nets.decoder.nets.action"),
+        }
+        k = decoder["fc0"]["kernel"]
+        decoder["fc0"]["kernel"] = jnp.concatenate(
+            [k[BCVAE_LATENT:], k[:BCVAE_LATENT]], axis=0
+        )
+        return {"policy": {"q_net": q_net, "decoder_net": decoder}}
+
+    raw = make_raw_batch(0)
+    ours.ensure_state(ours.process_batch_for_training(raw))
+    ours.state = ours.state.replace(params=transplant())
+
+    import robomimic.utils.torch_utils as RefTorchUtils
+    queue = []
+
+    def reparameterize(mu, logvar):
+        e = torch.from_numpy(queue.pop(0))
+        assert tuple(e.shape) == tuple(mu.shape)
+        return mu + torch.exp(0.5 * logvar) * e
+
+    monkeypatch.setattr(RefTorchUtils, "reparameterize", reparameterize)
+
+    def step_eps(seed):
+        return np.random.RandomState(seed).randn(B, BCVAE_LATENT).astype(
+            np.float32
+        )
+
+    # --- validate-mode loss parity
+    ref.set_eval()
+    raw = make_raw_batch(1)
+    eps = step_eps(11)
+    queue.append(eps)
+    rinfo = ref.train_on_batch(
+        ref.process_batch_for_training(_to_torch(raw)), epoch=1, validate=True
+    )["losses"]
+    type(ours)._noise_hook = staticmethod(lambda: jnp.asarray(eps))
+    try:
+        oinfo = ours.train_on_batch(
+            ours.process_batch_for_training(raw), epoch=1, validate=True
+        )["losses"]
+    finally:
+        type(ours)._noise_hook = None
+    for key in ("recons_loss", "kl_loss", "action_loss"):
+        np.testing.assert_allclose(
+            float(oinfo[key]), float(rinfo[key].detach()), atol=3e-5,
+            rtol=1e-5, err_msg=key,
+        )
+
+    # --- 12-step trajectory parity
+    ref.set_train()
+    for i in range(12):
+        raw = make_raw_batch(100 + i)
+        eps = step_eps(500 + i)
+        queue.append(eps)
+        ref.train_on_batch(
+            ref.process_batch_for_training(_to_torch(raw)), epoch=1,
+            validate=False,
+        )
+        assert not queue
+        type(ours)._noise_hook = staticmethod(
+            lambda e=eps: jnp.asarray(e)
+        )
+        try:
+            ours.train_on_batch(
+                ours.process_batch_for_training(raw), epoch=1, validate=False
+            )
+        finally:
+            type(ours)._noise_hook = None
+
+    final_ref = transplant()
+    flat_o = jax.tree_util.tree_leaves_with_path(ours.state.params)
+    flat_r = dict(jax.tree_util.tree_leaves_with_path(final_ref))
+    assert len(flat_o) == len(flat_r)
+    for path, leaf in flat_o:
+        assert_mostly_close(
+            leaf, flat_r[path], atol=5e-4, frac=0.995, max_abs=2e-2,
+            msg=f"after 12 BC_VAE steps: {jax.tree_util.keystr(path)}",
+        )
