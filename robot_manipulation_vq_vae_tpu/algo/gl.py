@@ -55,6 +55,11 @@ class GL(PlannerAlgo):
             algo_config, obs_config, global_config, obs_key_shapes, ac_dim,
             device,
         )
+        assert len(self.subgoal_shapes) > 0, (
+            "GL requires at least one subgoal modality — set "
+            "observation.modalities.subgoal (otherwise the goal network has "
+            "no outputs and the loss degenerates)"
+        )
 
     def _create_networks(self):
         self.nets["goal_network"] = GoalNetwork(
