@@ -195,7 +195,9 @@ class BC_VAE(ICL):
         self.ensure_state(batch)
         if self._train_step_jit is None:
             self._train_step_jit = self._build_train_step()
-        eps = self._noise_hook() if self._noise_hook is not None else None
+        # getattr: ICLVAE delegates here without subclassing BC_VAE
+        hook = getattr(self, "_noise_hook", None)
+        eps = hook() if hook is not None else None
         self.state, metrics = self._train_step_jit(
             self.state, batch, validate, self._temperature(epoch), eps
         )

@@ -39,8 +39,13 @@ def _conv1d(sd, prefix, bias=True):
     return out
 
 
-def _bn(sd, prefix):
+def _bn(sd, prefix, with_stats=True):
+    """``with_stats=False`` reads only the trainable scale/bias — the mode
+    optimizer-moment dicts need (running_mean/var are buffers and have no
+    Adam state)."""
     params = {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+    if not with_stats:
+        return params, {}
     stats = {
         "mean": sd[prefix + ".running_mean"],
         "var": sd[prefix + ".running_var"],
@@ -121,12 +126,12 @@ _TV_RESNET18_BLOCKS = [
 ]
 
 
-def convert_resnet18(sd, prefix=""):
+def convert_resnet18(sd, prefix="", with_stats=True):
     """torchvision resnet18 trunk -> (params, batch_stats) for our
     ResNet18Conv / the trunk part of ResNet18ConvFiLM."""
     p = prefix
     params, stats = {}, {}
-    bn_p, bn_s = _bn(sd, p + "bn1")
+    bn_p, bn_s = _bn(sd, p + "bn1", with_stats)
     params["stem"] = {"conv1": _conv2d(sd, p + "conv1"), "bn1": bn_p}
     stats["stem"] = {"bn1": bn_s}
     for tv_name, i in _TV_RESNET18_BLOCKS:
@@ -134,23 +139,23 @@ def convert_resnet18(sd, prefix=""):
         for c in ("conv1", "conv2"):
             bp[c] = _conv2d(sd, f"{p}{tv_name}.{c}")
         for b in ("bn1", "bn2"):
-            q, s = _bn(sd, f"{p}{tv_name}.{b}")
+            q, s = _bn(sd, f"{p}{tv_name}.{b}", with_stats)
             bp[b], bs[b] = q, s
         if f"{p}{tv_name}.downsample.0.weight" in sd:
             bp["down_conv"] = _conv2d(sd, f"{p}{tv_name}.downsample.0")
-            q, s = _bn(sd, f"{p}{tv_name}.downsample.1")
+            q, s = _bn(sd, f"{p}{tv_name}.downsample.1", with_stats)
             bp["down_bn"], bs["down_bn"] = q, s
         params[f"block{i}"] = bp
         stats[f"block{i}"] = bs
     return params, stats
 
 
-def convert_resnet18_film(sd, prefix=""):
+def convert_resnet18_film(sd, prefix="", with_stats=True):
     """Reference ResNet18ConvFiLM (_base_block/_conv_blocks/_film_layers
     naming, base_nets.py:652-746) -> (params, batch_stats)."""
     p = prefix
     params, stats = {}, {}
-    bn_p, bn_s = _bn(sd, p + "_base_block.1")
+    bn_p, bn_s = _bn(sd, p + "_base_block.1", with_stats)
     params["stem"] = {"conv1": _conv2d(sd, p + "_base_block.0"), "bn1": bn_p}
     stats["stem"] = {"bn1": bn_s}
     for i in range(8):
@@ -159,11 +164,11 @@ def convert_resnet18_film(sd, prefix=""):
         for c in ("conv1", "conv2"):
             bp[c] = _conv2d(sd, f"{base}.{c}")
         for b in ("bn1", "bn2"):
-            q, s = _bn(sd, f"{base}.{b}")
+            q, s = _bn(sd, f"{base}.{b}", with_stats)
             bp[b], bs[b] = q, s
         if f"{base}.downsample.0.weight" in sd:
             bp["down_conv"] = _conv2d(sd, f"{base}.downsample.0")
-            q, s = _bn(sd, f"{base}.downsample.1")
+            q, s = _bn(sd, f"{base}.downsample.1", with_stats)
             bp["down_bn"], bs["down_bn"] = q, s
         params[f"block{i}"] = bp
         stats[f"block{i}"] = bs
@@ -278,7 +283,7 @@ def convert_gpt_backbone(sd, prefix="", num_layers=6):
     return params
 
 
-def convert_transformer_actor(sd, config, prefix="policy."):
+def convert_transformer_actor(sd, config, prefix="policy.", with_stats=True):
     """Reference ``TransformerActorNetwork`` (MIMO_Transformer) state dict ->
     our policy tree: ``(params, batch_stats)`` for
     ``policy_nets.TransformerActorNetwork``.
@@ -297,7 +302,7 @@ def convert_transformer_actor(sd, config, prefix="policy."):
     for key in rgb_keys:
         base = f"{p}nets.encoder.nets.obs.obs_nets.{key}."
         trunk_params, trunk_stats = convert_resnet18_film(
-            sd, prefix=base + "backbone."
+            sd, prefix=base + "backbone.", with_stats=with_stats
         )
         kp_w = sd[base + "pool.nets.weight"]  # [K, C, 1, 1]
         enc_params[f"core_{key}"] = {
@@ -469,12 +474,23 @@ def convert_torch_adam_moments(opt_sd, param_names, convert_fn):
     ``tests/test_icl_parity.py::test_icl_hvqvae_midtraining_migration``).
     """
     state = opt_sd["state"]
-    order = [pid for g in opt_sd["param_groups"] for pid in g["params"]]
+    groups = opt_sd["param_groups"]
+    assert len(groups) == 1, (
+        "convert_torch_adam_moments assumes a single param_group (the "
+        "reference's optimizers); with multiple groups (e.g. decay/no-decay "
+        "splits) the flattened group order no longer matches "
+        "named_parameters order — pass per-group name lists instead"
+    )
+    order = [pid for g in groups for pid in g["params"]]
     assert len(order) == len(param_names), (
         f"{len(order)} optimizer slots vs {len(param_names)} named params"
     )
     sd_mu, sd_nu, count = {}, {}, None
     for idx, name in zip(order, param_names):
+        assert idx in state, (
+            f"no optimizer state for param '{name}' (index {idx}) — it "
+            "never received a gradient; migrate after at least one step"
+        )
         s = state[idx]
         sd_mu[name] = np.asarray(s["exp_avg"]).copy()
         sd_nu[name] = np.asarray(s["exp_avg_sq"]).copy()
@@ -487,10 +503,20 @@ def convert_torch_adam_moments(opt_sd, param_names, convert_fn):
 def graft_adam_moments(opt_state, count, mu, nu):
     """Replace every ``optax.ScaleByAdamState`` inside an opt-state pytree
     (whatever chain wraps it — weight decay, clipping, lr scale) with the
-    migrated ``(count, mu, nu)``."""
+    migrated ``(count, mu, nu)``, and advance every
+    ``ScaleByScheduleState`` to the same step count so lr schedules
+    (e.g. constant_with_warmup) resume where the torch run left off
+    instead of re-warming from zero."""
     import jax
     import jax.numpy as jnp
     import optax
+
+    sched_state = getattr(optax, "ScaleByScheduleState", None)
+
+    def is_leaf(node):
+        return isinstance(node, optax.ScaleByAdamState) or (
+            sched_state is not None and isinstance(node, sched_state)
+        )
 
     def visit(node):
         if isinstance(node, optax.ScaleByAdamState):
@@ -499,9 +525,8 @@ def graft_adam_moments(opt_state, count, mu, nu):
                 mu=jax.tree_util.tree_map(jnp.asarray, mu),
                 nu=jax.tree_util.tree_map(jnp.asarray, nu),
             )
+        if sched_state is not None and isinstance(node, sched_state):
+            return sched_state(count=jnp.asarray(count, jnp.int32))
         return node
 
-    return jax.tree_util.tree_map(
-        visit, opt_state,
-        is_leaf=lambda n: isinstance(n, optax.ScaleByAdamState),
-    )
+    return jax.tree_util.tree_map(visit, opt_state, is_leaf=is_leaf)

@@ -230,3 +230,35 @@ def test_mixed_precision_gmm_paper_path():
         assert np.isfinite(log["Log_Likelihood"])
     for leaf in jax.tree_util.tree_leaves(algo.state.params):
         assert leaf.dtype != jnp.bfloat16
+
+
+def test_iclvae_direct_instantiation_trains():
+    """ICLVAE is factory-unreachable (the reference's vae branch routes to
+    HVQVAE — reproduced quirk) but exposed for API parity; it delegates
+    its training loop to BC_VAE WITHOUT subclassing it, so attribute
+    lookups in the delegated path must use getattr (regression: the
+    BC_VAE._noise_hook seam briefly broke this)."""
+    import numpy as np
+
+    config = config_factory("icl")
+    with config.values_unlocked():
+        config.observation.modalities.obs.low_dim = ["flat"]
+        config.observation.modalities.obs.rgb = []
+        config.algo.transformer.enabled = False
+        config.algo.transformer.ln_act_enabled = False
+        config.algo.vae.enabled = True
+    config.lock()
+    ObsUtils.initialize_obs_utils_with_config(config)
+    algo = AlgoReg.ICLVAE(
+        algo_config=config.algo, obs_config=config.observation,
+        global_config=config, obs_key_shapes={"flat": (5,)}, ac_dim=3,
+        device=None,
+    )
+    raw = {
+        "obs": {"flat": np.zeros((8, 4, 5), np.float32)},
+        "actions": np.zeros((8, 4, 3), np.float32),
+    }
+    info = algo.train_on_batch(
+        algo.process_batch_for_training(raw), epoch=1
+    )
+    assert {"action_loss", "kl_loss", "recons_loss"} <= set(info["losses"])

@@ -302,7 +302,6 @@ def test_bc_vae_loss_and_trajectory_parity(monkeypatch):
     equal in validate mode under an injected identical encoder eps, and 12
     Adam steps track — via the `BC_VAE._noise_hook` seam and a
     monkeypatched `TorchUtils.reparameterize`."""
-    import importlib
 
     def tune_vae(cfg):
         cfg.algo.vae.enabled = True

@@ -26,10 +26,12 @@ def test_no_retrace_across_steps(case):
         algo.process_batch_for_training(make_raw_batch(9, case)),
         epoch=1, validate=True,
     )
+    checked = 0
     for sub in _states(algo):
         fn = getattr(sub, "_train_step_jit", None)
         if fn is None or not hasattr(fn, "_cache_size"):
             continue
+        checked += 1
         # one trace per static validate flag (False from training, True
         # from the validate call)
         n = fn._cache_size()
@@ -37,3 +39,7 @@ def test_no_retrace_across_steps(case):
             f"{case}: jitted train step retraced — {n} compiled entries "
             f"after same-shape steps (expected <= 2: train + validate)"
         )
+    assert checked > 0, (
+        f"{case}: no jitted step exposed _cache_size — the retrace guard "
+        "would be vacuous (JAX private API changed?)"
+    )

@@ -33,7 +33,11 @@ def _pair(module_name):
     import importlib
 
     m = importlib.import_module(module_name)
-    ref, ours = m.algo_pair._fixture_function()
+    # unwrap the fixture to its plain function across pytest versions
+    fixture = m.algo_pair
+    fn = (getattr(fixture, "_fixture_function", None)
+          or getattr(fixture, "__wrapped__", None) or fixture)
+    ref, ours = fn()
     m._sync(ref, ours)
     return m, ref, ours
 

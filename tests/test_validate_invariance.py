@@ -96,6 +96,20 @@ CASES = {
         "algo.transformer.num_heads": 4,
         "algo.transformer.ln_act_enabled": False,
         "algo.transformer.supervise_all_steps": True}),
+    "icl_mamba": ("icl_mamba", {
+        "algo.mamba.enabled": True,
+        "algo.mamba.ln_act_enabled": False,
+        "algo.mamba.context_length": 4,
+        "algo.mamba.embed_dim": 32,
+        "algo.mamba.num_layers": 2,
+        "algo.mamba.num_heads": 4,
+        "algo.mamba.vqvae.num_subclusters": 16,
+        "algo.mamba.vqvae.num_clusters": 8,
+        "algo.mamba.vqvae.embed_dim": 32,
+        "algo.mamba.vqvae.num_stages": 1,
+        "algo.mamba.vqvae.num_layers_per_stage": 2,
+        "algo.mamba.supervise_all_steps": True}),
+    "mcr": ("mcr", {}),
     "diffusion_policy": ("diffusion_policy", {
         "algo.horizon.observation_horizon": 2,
         "algo.horizon.action_horizon": 2,
