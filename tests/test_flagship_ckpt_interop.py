@@ -259,3 +259,57 @@ def test_convert_torch_checkpoint_cli(reference_setup, tmp_path):
         obs_j, context_batch={"actions": ctx_actions}
     ))
     np.testing.assert_allclose(a_file, a_mem, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_moment_conversion_with_stats_false(reference_setup, tmp_path):
+    """Optimizer-moment migration for an IMAGE-conditioned policy: the
+    weight converters run in with_stats=False mode over a dict keyed by
+    named_parameters only (BatchNorm running statistics are buffers with
+    no Adam state), and the resulting moment tree has exactly the
+    trainable-parameter structure."""
+    import jax
+    from robot_manipulation_vq_vae_tpu.utils.ckpt_conversion import (
+        convert_torch_adam_moments,
+        convert_transformer_actor,
+    )
+
+    ref_algo, config, shapes = reference_setup
+    policy = ref_algo.nets["policy"]
+    # one real step so every param has optimizer state
+    opt = torch.optim.Adam(policy.parameters(), lr=1e-3)
+    rng = np.random.RandomState(0)
+    obs_t = {
+        k: torch.from_numpy(rng.randn(B, H, *s).astype(np.float32))
+        for k, s in OBS_KEYS.items()
+    }
+    obs_t["lang_emb"] = torch.from_numpy(
+        rng.randn(B, H, LANG_DIM).astype(np.float32)
+    )
+    obs_t["robot0_agentview_image"] = torch.from_numpy(
+        rng.rand(B, H, 3, 32, 32).astype(np.float32)
+    )
+    out = policy(obs_dict=obs_t, actions=None, goal_dict=None)
+    out.sum().backward()
+    opt.step()
+
+    names = ["policy." + n for n, _ in policy.named_parameters()]
+
+    def convert(sd):
+        params, _ = convert_transformer_actor(
+            sd, json.loads(config.dump()) if hasattr(config, "dump")
+            else config,
+            prefix="policy.", with_stats=False,
+        )
+        return params
+
+    count, mu, nu = convert_torch_adam_moments(
+        opt.state_dict(), names, convert
+    )
+    assert count == 1
+    # the moment tree must cover the image trunk (BN scale/bias included,
+    # running stats excluded by construction)
+    flat = dict(jax.tree_util.tree_leaves_with_path(mu))
+    keys = [jax.tree_util.keystr(p) for p in flat]
+    assert any("backbone" in k and "bn1" in k for k in keys), keys[:5]
+    assert not any("mean" in k and "stem" in k for k in keys)
