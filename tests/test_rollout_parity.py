@@ -7,9 +7,9 @@ whole-algo parity modules; these tests pin the SERVING semantics:
 - CQL: the reference samples its tanh-Gaussian in eval mode, where
   GaussianActorNetwork pins sigma to 1e-4 (low-noise eval); ours returns
   tanh(mean). Equal within the 1e-4-noise envelope.
-- IQL: eval-mode GMM sample = tanh(means[mode]) + 1e-4*eps — the
-  categorical MODE pick matters, so both sides consume one injected
-  (mode, eps) draw.
+- IQL: the default actor is a (tanh-)Gaussian whose eval-mode sample
+  pins sigma to 1e-4 — both sides land within the low-noise envelope of
+  tanh(mean).
 - BCQ: the full sample -> perturb(live actor) -> argmax-Q(critic0)
   pipeline with injected prior draws on both sides.
 - HBC: the subgoal-refresh cadence (every ``subgoal_update_interval``
