@@ -1,25 +1,34 @@
-"""Driver benchmark. ONE JSON line with:
+"""Driver benchmark. Prints ONE JSON line.
 
-1. the north-star metric (primary fields): LipVQ-VAE action-chunk
-   tokenize + detokenize throughput on one chip — target
-   >= 10,000 chunks/sec/chip (BASELINE.json "north_star") at the
-   shipped-config sizes (feature_dim=12, latent_dim=210, num_codes=1024);
-2. a compiled-Pallas numerics assertion (TPU only): the fused roundtrip
-   megakernel must match the plain-XLA path within the documented
-   tanh-GELU tolerance, else this script FAILS — so a recorded bench
-   result implies compiled-kernel correctness, not just speed;
-3. flagship train-step throughput (extra fields): one
-   ICLTransformerHVQVAE bf16 train step at the reference's shipped
-   scale (batch 64, 3x128x128 cams, 6L/512d/8H, ctx 16) measured via
-   bench_train.measure — the real workload, reference hot loop
-   ``robomimic/utils/train_utils.py:1238-1328``.
+Primary fields: the north-star metric — LipVQ-VAE action-chunk
+tokenize+detokenize throughput on one chip (>= 10,000 chunks/sec/chip,
+BASELINE.json "north_star"), gated on TPU by a compiled-Pallas numerics
+assertion. Extra fields: flagship ICLTransformerHVQVAE bf16 train-step
+throughput at the reference's shipped scale (the real workload — reference
+hot loop ``robomimic/utils/train_utils.py:1238-1328``), serving latency
+(get_action batch 1 + batch-16 throughput, reference batched rollouts
+``robomimic/utils/train_utils.py:317-529``), and host-loader throughput.
 
-Budget choreography: the flagship child pays a 150-300 s XLA compile
-(the persistent compile cache does not survive processes on this
-backend), so it is spawned at t=0 — BEFORE the parent even initializes
-JAX — and runs concurrently with the tokenizer bench (the backend
-multiplexes concurrent clients). The parent harvests the child's result
-file at the budget deadline. Set RMVQ_BENCH_FLAGSHIP=0 to skip (3).
+WEDGE-PROOF ORCHESTRATION (this process NEVER imports jax):
+the axon tunnel can hard-wedge such that any backend contact hangs
+forever (observed rounds 3-4: ``jax.devices()`` blocks >= 240 s). So all
+backend contact happens in DISPOSABLE SUBPROCESSES with per-attempt
+timeouts — a wedged backend is per-process state, and a fresh process per
+attempt is the only possible recovery:
+
+  t=0   spawn the flagship child (its 150-500 s XLA compile overlaps
+        everything below; self-gates rc=3 on CPU)
+  t=0   liveness probe, 2 attempts (60 s + 15 s, fresh process each).
+        BOTH fail -> kill children, print ``backend_unreachable: true``
+        and exit in < 90 s instead of burning the whole budget.
+  then  tokenizer leg (bench_tokenizer.py, own timeout, retried once on
+        a crash), flagship harvest at the deadline, and opportunistic
+        infer + loader legs with leftover budget.
+
+Every completed leg's fields are merged into the accumulated result dict
+IMMEDIATELY (legs also write their own result files incrementally), and a
+watchdog thread prints the accumulated result at the deadline no matter
+what — a late wedge can never erase an early success.
 """
 
 import json
@@ -30,380 +39,340 @@ import sys
 import tempfile
 import time
 
-import numpy as np
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_STATE = {"result": {}, "printed": False}
 
 
-def _spawn_flagship():
-    """Launch bench_train.py speculatively (it self-gates on CPU backends
-    with rc=3). stdout/stderr go to FILES and the child gets its own
-    process group: backend helper processes inherit pipes and would make
-    a post-kill pipe read hang forever; killpg reaps them too."""
-    out_f = tempfile.NamedTemporaryFile(
-        mode="w+", suffix=".bench.out", delete=False
-    )
-    err_f = tempfile.NamedTemporaryFile(
-        mode="w+", suffix=".bench.err", delete=False
-    )
-    result_path = out_f.name + ".json"
-    child = subprocess.Popen(
-        [sys.executable, os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "bench_train.py",
-        )],
-        env={**os.environ,
-             "RMVQ_REQUIRE_TPU": "1",   # exit rc=3 immediately on CPU
-             "RMVQ_BF16": "1", "RMVQ_BATCH": "64",
-             "RMVQ_RESULT_FILE": result_path},
-        stdout=out_f, stderr=err_f, start_new_session=True,
-    )
-    return child, out_f, err_f, result_path
+def _emit(result=None):
+    if not _STATE["printed"]:
+        _STATE["printed"] = True
+        out = dict(_STATE["result"] if result is None else result)
+        out.setdefault("metric", "lipvq_tokenize_detokenize_throughput")
+        out.setdefault("value", None)
+        out.setdefault("unit", "chunks/sec/chip")
+        out.setdefault("vs_baseline", None)
+        print(json.dumps(out), flush=True)
 
 
-def _harvest_flagship(child, out_f, err_f, result_path, deadline, result):
-    """Wait for the flagship child until `deadline` (absolute
-    time.perf_counter() value), then merge its fields into `result`.
-    Polls instead of blocking to the deadline, so a fast compile leaves
-    budget for the opportunistic inference leg."""
-    keep_files = False
-    try:
-        hard_deadline = max(deadline, time.perf_counter() + 30.0)
-        while child.poll() is None:
-            if time.perf_counter() >= hard_deadline:
-                os.killpg(child.pid, signal.SIGKILL)
-                child.wait()
-                raise subprocess.TimeoutExpired(cmd="bench_train", timeout=0)
-            time.sleep(2.0)
-        rc = child.returncode
-        if rc == 3:
-            return  # CPU backend: flagship deliberately skipped
-        flagship = None
-        if os.path.exists(result_path):
-            with open(result_path) as f:
-                flagship = json.load(f)
-        if flagship is None:
-            out_f.seek(0)
-            lines = [ln for ln in out_f.read().splitlines()
-                     if ln.startswith("{")]
-            if rc != 0 or not lines:
-                err_f.seek(0)
-                raise RuntimeError(
-                    f"bench_train rc={rc}: {err_f.read().strip()[-200:]}"
-                )
-            flagship = json.loads(lines[-1])
-        result["flagship_train_steps_per_sec"] = flagship["value"]
-        result["flagship_samples_per_sec"] = flagship["samples_per_sec"]
-        result["flagship_compile_sec"] = flagship["compile_sec"]
-        result["flagship_mixed_precision"] = flagship["mixed_precision"]
-        if "tflops_per_sec" in flagship:
-            # achieved TFLOP/s from XLA's own FLOP count of the compiled
-            # step (v5e bf16 peak is ~197 TFLOP/s/chip)
-            result["flagship_tflops_per_sec"] = flagship["tflops_per_sec"]
-    except subprocess.TimeoutExpired:
-        keep_files = True
-        result["flagship_error"] = (
-            "flagship child hit the bench deadline "
-            "(XLA compile variance over the tunnel)"
+def _merge(fields):
+    """Incremental accumulation: visible to the deadline watchdog the
+    moment a leg lands, so nothing completed is ever lost."""
+    _STATE["result"].update(fields)
+
+
+def _watchdog(deadline):
+    """Guarantee ONE JSON line before the driver's timeout. The parent is
+    structurally hang-proof (it never touches the backend), so this is
+    belt-and-suspenders for e.g. a pathological filesystem stall."""
+    import threading
+
+    def run():
+        while time.perf_counter() < deadline:
+            if _STATE["printed"]:
+                return
+            time.sleep(1.0)
+        if not _STATE["printed"]:
+            _STATE["result"]["watchdog"] = (
+                "orchestrator hit the budget deadline; accumulated partial "
+                "results follow"
+            )
+            _emit()
+            os._exit(0)
+
+    threading.Thread(target=run, daemon=True).start()
+
+
+class _Child:
+    """A disposable backend-touching subprocess. stdout/stderr go to FILES
+    and the child gets its own process group: backend helper processes
+    inherit pipes and would make a post-kill pipe read hang forever;
+    killpg reaps them too."""
+
+    def __init__(self, script, extra_env, tag):
+        self.out_f = tempfile.NamedTemporaryFile(
+            mode="w+", suffix=f".{tag}.out", delete=False
         )
-    except Exception as e:  # never lose the north-star number
-        keep_files = True
-        result["flagship_error"] = f"{type(e).__name__}: {e}"[:300]
-    finally:
-        for f in (out_f, err_f):
+        self.err_f = tempfile.NamedTemporaryFile(
+            mode="w+", suffix=f".{tag}.err", delete=False
+        )
+        self.result_path = self.out_f.name + ".json"
+        env = {**os.environ, "RMVQ_RESULT_FILE": self.result_path,
+               **extra_env}
+        # repo root on PYTHONPATH + as cwd: legs import the package no
+        # matter where the driver invoked bench.py from
+        env["PYTHONPATH"] = _HERE + os.pathsep + env.get("PYTHONPATH", "")
+        self.proc = subprocess.Popen(
+            [sys.executable, os.path.join(_HERE, script)],
+            env=env, cwd=_HERE, stdout=self.out_f, stderr=self.err_f,
+            start_new_session=True,
+        )
+
+    def poll(self):
+        return self.proc.poll()
+
+    def read_result(self):
+        """Parse the child's incrementally-written result file (None if it
+        hasn't produced one yet)."""
+        try:
+            if os.path.exists(self.result_path):
+                with open(self.result_path) as f:
+                    return json.load(f)
+        except (OSError, ValueError):
+            pass
+        return None
+
+    def kill(self):
+        if self.proc.poll() is None:
+            try:  # TERM first: SIGKILLed probes are suspected of leaving
+                os.killpg(self.proc.pid, signal.SIGTERM)  # tunnel claims stuck
+                for _ in range(20):
+                    if self.proc.poll() is not None:
+                        break
+                    time.sleep(0.1)
+            except OSError:
+                pass
+            if self.proc.poll() is None:
+                try:
+                    os.killpg(self.proc.pid, signal.SIGKILL)
+                except OSError:
+                    pass
+            try:
+                self.proc.wait(timeout=5)
+            except Exception:
+                pass
+
+    def stderr_tail(self, n=200):
+        try:
+            self.err_f.seek(0)
+            return self.err_f.read().strip()[-n:]
+        except Exception:
+            return ""
+
+    def cleanup(self, keep=False):
+        for f in (self.out_f, self.err_f):
             try:
                 f.close()
             except Exception:
                 pass
-        if not keep_files:  # keep logs only on failure, for debugging
-            for p in (out_f.name, err_f.name, result_path):
+        if not keep:
+            for p in (self.out_f.name, self.err_f.name, self.result_path):
                 try:
                     os.unlink(p)
                 except OSError:
                     pass
 
 
-_STATE = {"result": {}, "printed": False, "child_result_path": None,
-           "child": None, "phase": "startup"}
+_PROBE_SRC = (
+    # the package __init__ honors RMVQ_FORCE_CPU (the axon plugin ignores
+    # JAX_PLATFORMS), so the probe sees the same backend the legs will use
+    "import robot_manipulation_vq_vae_tpu;"
+    "import jax, jax.numpy as jnp, json, os;"
+    "jnp.zeros(()).block_until_ready();"
+    "open(os.environ['RMVQ_RESULT_FILE'],'w').write("
+    "json.dumps({'backend': jax.default_backend()}))"
+)
 
 
-def _emit(result):
-    if not _STATE["printed"]:
-        _STATE["printed"] = True
-        print(json.dumps(result), flush=True)
-
-
-def _watchdog(deadline_monotonic):
-    """Guarantee ONE JSON line before the driver's timeout even if the main
-    thread is stuck inside a blocking XLA compile (the compile service
-    serializes the parent's and the flagship child's compiles, so a slow
-    day can pin the main thread past the budget). Harvests the child's
-    result file so the flagship numbers land regardless."""
-    import threading
-
-    def run():
-        while time.perf_counter() < deadline_monotonic:
-            if _STATE["printed"]:
-                return
-            time.sleep(1.0)
-        if _STATE["printed"]:
-            return
-        result = dict(_STATE["result"])
-        path = _STATE["child_result_path"]
+def _probe(timeout_sec):
+    """One liveness attempt in a fresh process: first device contact plus
+    backend name. Returns the backend string, or None on hang/crash."""
+    out_f = tempfile.NamedTemporaryFile(mode="w+", suffix=".probe.out",
+                                        delete=False)
+    result_path = out_f.name + ".json"
+    env = {**os.environ, "RMVQ_RESULT_FILE": result_path}
+    env["PYTHONPATH"] = _HERE + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _PROBE_SRC],
+        env=env, cwd=_HERE, stdout=out_f, stderr=out_f,
+        start_new_session=True,
+    )
+    backend = None
+    t0 = time.perf_counter()
+    while proc.poll() is None:
+        if time.perf_counter() - t0 > timeout_sec:
+            break
+        time.sleep(0.5)
+    if proc.poll() is None:  # hung: wedged backend
         try:
-            if path and os.path.exists(path):
-                with open(path) as f:
-                    flagship = json.load(f)
-                result["flagship_train_steps_per_sec"] = flagship["value"]
-                result["flagship_samples_per_sec"] = (
-                    flagship["samples_per_sec"]
-                )
-                result["flagship_compile_sec"] = flagship["compile_sec"]
-                result["flagship_mixed_precision"] = (
-                    flagship["mixed_precision"]
-                )
-                if "tflops_per_sec" in flagship:
-                    result["flagship_tflops_per_sec"] = (
-                        flagship["tflops_per_sec"]
-                    )
+            os.killpg(proc.pid, signal.SIGTERM)
+            time.sleep(1.0)
+            if proc.poll() is None:
+                os.killpg(proc.pid, signal.SIGKILL)
+        except OSError:
+            pass
+        try:
+            proc.wait(timeout=5)
         except Exception:
             pass
-        result.setdefault(
-            "metric", "lipvq_tokenize_detokenize_throughput"
-        )
-        result.setdefault("value", None)
-        result.setdefault("unit", "chunks/sec/chip")
-        result.setdefault("vs_baseline", None)
-        result["watchdog"] = (
-            f"main thread stuck in phase '{_STATE.get('phase')}' at "
-            "deadline; partial results (a hang before 'device_warmup' "
-            "completes usually means the TPU tunnel/backend is "
-            "unreachable, not a slow compile)"
-        )
-        _emit(result)
-        child = _STATE["child"]
-        if child is not None and child.poll() is None:
-            try:
-                os.killpg(child.pid, signal.SIGKILL)
-            except OSError:
-                pass
-        os._exit(0)
+    elif proc.returncode == 0 and os.path.exists(result_path):
+        try:
+            with open(result_path) as f:
+                backend = json.load(f).get("backend")
+        except (OSError, ValueError):
+            pass
+    for p in (out_f.name, result_path):
+        try:
+            out_f.close()
+            os.unlink(p)
+        except OSError:
+            pass
+    return backend
 
-    t = threading.Thread(target=run, daemon=True)
-    t.start()
+
+def _wait_leg(child, timeout_abs):
+    """Poll a child until exit or the absolute deadline; returns rc or
+    None if it had to be killed at the deadline."""
+    while child.poll() is None:
+        if time.perf_counter() >= timeout_abs:
+            child.kill()
+            return None
+        time.sleep(1.0)
+    return child.proc.returncode
+
+
+def _run_tokenizer_leg(deadline):
+    """North-star leg with a bounded retry: a crash (rc!=0) gets ONE fresh
+    process if budget allows; a hang does not (per-attempt timeout)."""
+    for attempt in (1, 2):
+        left = deadline - time.perf_counter()
+        if left < 45.0:
+            return
+        child = _Child("bench_tokenizer.py", {}, "tok")
+        rc = _wait_leg(child, time.perf_counter() + min(300.0, left))
+        res = child.read_result()
+        if res:  # incremental file: present even on a late kill
+            _merge(res)
+        if rc == 0 and res and res.get("value") is not None:
+            child.cleanup()
+            return
+        if rc is None:  # hang -> assume wedge-class failure, don't retry
+            _merge({"tokenizer_error": "leg hit its per-attempt timeout"})
+            child.cleanup(keep=True)
+            return
+        _merge({"tokenizer_error":
+                f"rc={rc} attempt={attempt}: {child.stderr_tail()}"})
+        child.cleanup(keep=True)
+
+
+_FLAGSHIP_KEYS = {
+    "value": "flagship_train_steps_per_sec",
+    "samples_per_sec": "flagship_samples_per_sec",
+    "compile_sec": "flagship_compile_sec",
+    "mixed_precision": "flagship_mixed_precision",
+    "tflops_per_sec": "flagship_tflops_per_sec",
+}
+
+
+def _harvest_flagship(child, deadline):
+    """Wait for the flagship child until `deadline`; merge its result file.
+    Returns True if the flagship numbers landed."""
+    rc = _wait_leg(child, deadline)
+    res = child.read_result()
+    if rc == 3:
+        child.cleanup()
+        return False  # CPU backend: deliberately skipped
+    if res and "value" in res:
+        _merge({out: res[k] for k, out in _FLAGSHIP_KEYS.items() if k in res})
+        child.cleanup()
+        return True
+    if rc is None:
+        _merge({"flagship_error":
+                "flagship child hit the bench deadline "
+                "(XLA compile variance over the tunnel)"})
+    else:
+        _merge({"flagship_error": f"rc={rc}: {child.stderr_tail()}"})
+    child.cleanup(keep=True)
+    return False
+
+
+def _run_infer_leg(deadline):
+    """Serving leg: get_action latency at batch 1 and batch-16 throughput.
+    bench_infer.py flushes its result file after EACH batch size, so a
+    deadline kill still captures batch 1."""
+    child = _Child("bench_infer.py",
+                   {"RMVQ_BF16": "1", "RMVQ_INFER_BATCHES": "1,16"}, "infer")
+    _wait_leg(child, deadline)
+    res = child.read_result()  # list of per-batch dicts
+    if res:
+        for entry in res:
+            if entry.get("batch") == 1:
+                _merge({
+                    "flagship_get_action_ms": entry["value"],
+                    "flagship_get_action_compile_sec": entry["compile_sec"],
+                })
+            elif entry.get("batch") == 16:
+                _merge({"batch16_actions_per_sec": entry["actions_per_sec"]})
+    child.cleanup()
+
+
+def _run_loader_leg(deadline):
+    """Host data-path leg (CPU-only: RMVQ_FORCE_CPU keeps it off the
+    tunnel). Reports the cached-path loader throughput medianised by
+    bench_loader itself."""
+    child = _Child(
+        os.path.join("robot_manipulation_vq_vae_tpu", "scripts",
+                     "bench_loader.py"),
+        {"RMVQ_FORCE_CPU": "1", "RMVQ_LOADER_QUICK": "1"}, "loader")
+    _wait_leg(child, deadline)
+    res = child.read_result()
+    if res:
+        best = max((e for e in res if "value" in e),
+                   key=lambda e: e["value"], default=None)
+        if best:
+            _merge({"loader_samples_per_sec": best["value"],
+                    "loader_gbytes_per_sec": best.get("gbytes_per_sec")})
+    child.cleanup()
 
 
 def main():
-    bench_start = time.perf_counter()
+    start = time.perf_counter()
     budget = float(os.environ.get("RMVQ_BENCH_BUDGET_SEC", "560"))
-    _watchdog(bench_start + budget - 5.0)
+    deadline = start + budget
+    _watchdog(deadline - 5.0)
 
-    # (3) flagship child at t=0 — before the parent touches JAX — so its
-    # 150-300 s compile overlaps the whole tokenizer bench below.
-    child = None
+    # flagship child at t=0 — its long compile overlaps everything below
+    flagship = None
     if os.environ.get("RMVQ_BENCH_FLAGSHIP", "1") == "1":
-        child, out_f, err_f, result_path = _spawn_flagship()
-        _STATE["child"] = child
-        _STATE["child_result_path"] = result_path
-
-    _STATE["phase"] = "importing_jax"
-    import jax
-    import jax.numpy as jnp
-
-    from robot_manipulation_vq_vae_tpu.utils.train_utils import (
-        enable_compile_cache,
-    )
-
-    enable_compile_cache()
-    _STATE["phase"] = "device_warmup"
-    # first device contact: a hang HERE (not in a compile) indicates a
-    # wedged tunnel/backend and is named as such in the watchdog line
-    jnp.zeros(()).block_until_ready()
-    _STATE["phase"] = "tokenizer_bench"
-
-    from robot_manipulation_vq_vae_tpu.models.tokenizers import LipVQVAE
-
-    FEATURE_DIM = 12
-    LATENT_DIM = 210   # obs-feature dim of the shipped config (3x64 cams + 18 low-dim)
-    NUM_CODES = 1024
-    BATCH = 65536      # chunks per device step
-
-    on_tpu = jax.default_backend() not in ("cpu",)
-    model = LipVQVAE(
-        feature_dim=FEATURE_DIM,
-        latent_dim=LATENT_DIM,
-        num_codes=NUM_CODES,
-        use_pallas=on_tpu,
-    )
-    rng = jax.random.PRNGKey(0)
-    x_init = jnp.zeros((8, FEATURE_DIM), jnp.float32)
-    variables = model.init(rng, x_init)
-
-    # fused Pallas megakernel on TPU (whole tokenize+detokenize VMEM-resident,
-    # ~1.5x over the op-by-op path); standard path elsewhere
-    method = model.roundtrip_fused if on_tpu else model.roundtrip
-
-    pallas_max_err = None
-    if on_tpu:
-        # Compiled-kernel correctness gate: the fused megakernel's only
-        # approximation is tanh-GELU (ops/pallas/lipvq_kernel.py:151-153);
-        # assignments must agree exactly and recon within 5e-3. Run it on
-        # rescaled weights (activations ~unit scale) — at default init the
-        # activations are so small that tanh- and erf-GELU are bit-identical
-        # in fp32 and the check would be trivially satisfied.
-        leaves, treedef = jax.tree_util.tree_flatten(variables)
-        chk_rng = np.random.RandomState(11)
-        chk_vars = jax.tree_util.tree_unflatten(
-            treedef,
-            [
-                jnp.asarray(chk_rng.normal(0, 0.5, leaf.shape).astype(np.float32))
-                for leaf in leaves
-            ],
-        )
-        x_chk = jnp.asarray(
-            np.random.RandomState(7).randn(4096, FEATURE_DIM).astype(np.float32)
-        )
-        def xla_reference(v, x):
-            """Same math as the fused kernel (incl. tanh-GELU) in plain XLA,
-            so any disagreement is Pallas codegen, not the documented
-            GELU-flavor approximation."""
-            p = v["params"]
-            g = lambda t: jax.nn.gelu(t, approximate=True)  # noqa: E731
-            h = g(x @ p["enc1"]["kernel"] + p["enc1"]["bias"])
-            h = g(h @ p["enc2"]["kernel"] + p["enc2"]["bias"])
-            W, ci = p["to_latent"]["W"], p["to_latent"]["ci"]
-            absrowsum = jnp.sum(jnp.abs(W), axis=1, keepdims=True)
-            scale = jnp.minimum(1.0, jax.nn.softplus(ci)[:, None] / absrowsum)
-            z = jax.nn.sigmoid(h @ (W * scale).T + p["to_latent"]["b"])
-            cb = p["quantizer"]["codebook"]
-            dist = jnp.sum(cb * cb, -1)[None, :] - 2.0 * (z @ cb.T)
-            idx = jnp.argmin(dist, -1)
-            zq = cb[idx]
-            d = g(zq @ p["dec1"]["kernel"] + p["dec1"]["bias"])
-            d = g(d @ p["dec2"]["kernel"] + p["dec2"]["bias"])
-            return d @ p["to_output"]["kernel"] + p["to_output"]["bias"], idx
-
-        # ONE compiled program for fused + reference: the compile service
-        # serializes our compiles with the flagship child's, so every
-        # program saved here is budget handed to the child
-        recon_f, idx_f, recon_x, idx_x = jax.jit(
-            lambda v, x: (
-                *model.apply(v, x, method=model.roundtrip_fused),
-                *xla_reference(v, x),
-            )
-        )(chk_vars, x_chk)
-        idx_mismatch = int(jnp.sum(idx_f != idx_x))
-        agree = (idx_f == idx_x)[:, None]
-        pallas_max_err = float(
-            jnp.max(jnp.abs(jnp.where(agree, recon_f - recon_x, 0.0)))
-        )
-        assert idx_mismatch <= 4, (
-            f"Pallas fused kernel disagrees with same-math XLA on "
-            f"{idx_mismatch}/4096 codebook assignments (ulp-level Voronoi "
-            f"ties would explain <=4)"
-        )
-        assert pallas_max_err < 5e-3, (
-            f"Pallas fused recon max|err|={pallas_max_err:.2e} exceeds "
-            f"tolerance 5e-3 on assignment-agreeing rows"
+        flagship = _Child(
+            "bench_train.py",
+            {"RMVQ_REQUIRE_TPU": "1", "RMVQ_BF16": "1", "RMVQ_BATCH": "64"},
+            "flagship",
         )
 
-    @jax.jit
-    def chain(v, x, n):
-        """n chained roundtrips ON DEVICE (lax.fori_loop): one dispatch, one
-        scalar fetch - immune to per-call RPC jitter on tunneled backends.
-        Feeding the reconstruction back as input serializes iterations.
-        n is TRACED (dynamic trip count) so both chain lengths share one
-        compiled program — compile time is budget shared with the child."""
+    # liveness probe: 2 disposable attempts, then give up FAST
+    backend = _probe(float(os.environ.get("RMVQ_BENCH_PROBE_SEC", "60")))
+    if backend is None:
+        backend = _probe(15.0)
+        if backend is None:
+            if flagship is not None:
+                flagship.kill()
+                flagship.cleanup(keep=True)
+            _merge({
+                "backend_unreachable": True,
+                "probe_attempts": 2,
+                "note": (
+                    "first device contact hung in 2 fresh subprocesses "
+                    "(60s + 15s): the TPU tunnel/backend is wedged — "
+                    "exiting early instead of burning the budget"
+                ),
+            })
+            _emit()
+            return
+    _merge({"backend": backend})
 
-        def body(_, y):
-            recon, _ = model.apply(v, y, method=method)
-            return recon
+    _run_tokenizer_leg(deadline - 15.0)
 
-        return jnp.sum(jax.lax.fori_loop(0, n, body, x))
-
-    x = jnp.asarray(
-        np.random.RandomState(0).randn(BATCH, FEATURE_DIM).astype(np.float32)
-    )
-
-    _STATE["phase"] = "tokenizer_timing"
-    # 101 iters keeps the measured window ~60ms (plenty vs the ~us-level
-    # timer noise after differencing) without the compile+execute cost the
-    # old 401-iteration chain paid out of the child's budget.
-    n_short, n_long = (1, 5) if not on_tpu else (1, 101)
-    # warmup (one compile serves both trip counts)
-    float(chain(variables, x, n_short))
-    float(chain(variables, x, n_long))
-
-    t0 = time.perf_counter()
-    float(chain(variables, x, n_short))
-    t_short = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(chain(variables, x, n_long))
-    t_long = time.perf_counter() - t0
-    per_iter = max((t_long - t_short) / (n_long - n_short), 1e-9)
-    chunks_per_sec = BATCH / per_iter
-    baseline = 10_000.0  # north-star target (BASELINE.md)
-    result = {
-        "metric": "lipvq_tokenize_detokenize_throughput",
-        "value": round(chunks_per_sec, 1),
-        "unit": "chunks/sec/chip",
-        "vs_baseline": round(chunks_per_sec / baseline, 3),
-    }
-    if pallas_max_err is not None:
-        result["pallas_recon_max_err"] = round(pallas_max_err, 6)
-    _STATE["result"] = dict(result)  # visible to the deadline watchdog
-
-    if child is not None:
-        # leave ~10s of the budget for harvest + print
-        _STATE["phase"] = "flagship_harvest"
-        deadline = bench_start + budget - 10.0
-        _harvest_flagship(child, out_f, err_f, result_path, deadline, result)
-        # opportunistic serving-latency leg: only when the flagship landed
-        # early enough that a get_action compile (~90-200 s) can fit in the
-        # leftover budget; skipped silently otherwise (stretch metric — the
-        # flagship number must never be jeopardized)
-        if (
-            "flagship_train_steps_per_sec" in result
-            and deadline - time.perf_counter() > 120.0
-        ):
-            _STATE["phase"] = "infer_leg"
-            _run_infer_leg(deadline, result)
-    _emit(result)
-
-
-def _run_infer_leg(deadline, result):
-    infer_path = None
-    try:
-        fd, infer_path = tempfile.mkstemp(suffix=".infer.json")
-        os.close(fd)
-        os.unlink(infer_path)  # child creates it on success
-        with open(os.devnull, "w") as devnull:
-            child = subprocess.Popen(
-                [sys.executable, os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)),
-                    "bench_infer.py",
-                )],
-                env={**os.environ, "RMVQ_BF16": "1",
-                     "RMVQ_INFER_BATCHES": "1",
-                     "RMVQ_RESULT_FILE": infer_path},
-                stdout=devnull, stderr=devnull, start_new_session=True,
-            )
-            while child.poll() is None:
-                if time.perf_counter() >= deadline:
-                    os.killpg(child.pid, signal.SIGKILL)
-                    child.wait()
-                    break
-                time.sleep(2.0)
-        if os.path.exists(infer_path):
-            with open(infer_path) as f:
-                infer = json.load(f)[0]  # batch 1
-            result["flagship_get_action_ms"] = infer["value"]
-            result["flagship_get_action_compile_sec"] = infer["compile_sec"]
-    except Exception:
-        pass  # best-effort: never disturb the primary fields
-    finally:
-        if infer_path:
-            try:
-                os.unlink(infer_path)
-            except OSError:
-                pass
+    if flagship is not None:
+        landed = _harvest_flagship(flagship, deadline - 10.0)
+        # opportunistic legs with whatever budget the flagship left over;
+        # the flagship number is never jeopardized (it already landed)
+        if landed and deadline - time.perf_counter() > 120.0:
+            _run_infer_leg(deadline - 10.0)
+    if (
+        backend == "cpu" or _STATE["result"].get("flagship_train_steps_per_sec")
+    ) and deadline - time.perf_counter() > 60.0:
+        _run_loader_leg(deadline - 8.0)
+    _emit()
 
 
 if __name__ == "__main__":

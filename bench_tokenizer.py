@@ -1,0 +1,178 @@
+"""Tokenizer bench leg (run as a disposable subprocess of bench.py).
+
+Measures the north-star metric — LipVQ-VAE action-chunk tokenize +
+detokenize throughput on one chip (target >= 10,000 chunks/sec/chip,
+BASELINE.json "north_star") at the shipped-config sizes — and, on TPU,
+gates it behind a compiled-Pallas numerics assertion: the fused roundtrip
+megakernel must match the plain-XLA path within the documented tanh-GELU
+tolerance, else this leg FAILS. A recorded throughput therefore implies
+compiled-kernel correctness, not just speed.
+
+Writes its fields to RMVQ_RESULT_FILE *incrementally* (after the Pallas
+gate, then again after timing) so a deadline kill from the orchestrator
+never erases a completed sub-step. Reference workload being measured:
+the action tokenization hot path of robomimic/algo/icl.py (LipVQ usage)
+at feature_dim=12, latent_dim=210, num_codes=1024.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+FEATURE_DIM = 12
+LATENT_DIM = 210   # obs-feature dim of the shipped config (3x64 cams + 18 low-dim)
+NUM_CODES = 1024
+BATCH = 65536      # chunks per device step
+
+
+def _write_partial(result):
+    path = os.environ.get("RMVQ_RESULT_FILE")
+    if path:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(result, f)
+        os.replace(tmp, path)  # atomic: harvester never sees a torn write
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from robot_manipulation_vq_vae_tpu.utils.train_utils import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
+    jnp.zeros(()).block_until_ready()  # device contact up front
+
+    from robot_manipulation_vq_vae_tpu.models.tokenizers import LipVQVAE
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    result = {"backend": jax.default_backend()}
+    model = LipVQVAE(
+        feature_dim=FEATURE_DIM,
+        latent_dim=LATENT_DIM,
+        num_codes=NUM_CODES,
+        use_pallas=on_tpu,
+    )
+    rng = jax.random.PRNGKey(0)
+    x_init = jnp.zeros((8, FEATURE_DIM), jnp.float32)
+    variables = model.init(rng, x_init)
+
+    # fused Pallas megakernel on TPU (whole tokenize+detokenize VMEM-resident,
+    # ~1.5x over the op-by-op path); standard path elsewhere
+    method = model.roundtrip_fused if on_tpu else model.roundtrip
+
+    if on_tpu:
+        # Compiled-kernel correctness gate: the fused megakernel's only
+        # approximation is tanh-GELU (ops/pallas/lipvq_kernel.py:151-153);
+        # assignments must agree exactly and recon within 5e-3. Run it on
+        # rescaled weights (activations ~unit scale) — at default init the
+        # activations are so small that tanh- and erf-GELU are bit-identical
+        # in fp32 and the check would be trivially satisfied.
+        leaves, treedef = jax.tree_util.tree_flatten(variables)
+        chk_rng = np.random.RandomState(11)
+        chk_vars = jax.tree_util.tree_unflatten(
+            treedef,
+            [
+                jnp.asarray(chk_rng.normal(0, 0.5, leaf.shape).astype(np.float32))
+                for leaf in leaves
+            ],
+        )
+        x_chk = jnp.asarray(
+            np.random.RandomState(7).randn(4096, FEATURE_DIM).astype(np.float32)
+        )
+
+        def xla_reference(v, x):
+            """Same math as the fused kernel (incl. tanh-GELU) in plain XLA,
+            so any disagreement is Pallas codegen, not the documented
+            GELU-flavor approximation."""
+            p = v["params"]
+            g = lambda t: jax.nn.gelu(t, approximate=True)  # noqa: E731
+            h = g(x @ p["enc1"]["kernel"] + p["enc1"]["bias"])
+            h = g(h @ p["enc2"]["kernel"] + p["enc2"]["bias"])
+            W, ci = p["to_latent"]["W"], p["to_latent"]["ci"]
+            absrowsum = jnp.sum(jnp.abs(W), axis=1, keepdims=True)
+            scale = jnp.minimum(1.0, jax.nn.softplus(ci)[:, None] / absrowsum)
+            z = jax.nn.sigmoid(h @ (W * scale).T + p["to_latent"]["b"])
+            cb = p["quantizer"]["codebook"]
+            dist = jnp.sum(cb * cb, -1)[None, :] - 2.0 * (z @ cb.T)
+            idx = jnp.argmin(dist, -1)
+            zq = cb[idx]
+            d = g(zq @ p["dec1"]["kernel"] + p["dec1"]["bias"])
+            d = g(d @ p["dec2"]["kernel"] + p["dec2"]["bias"])
+            return d @ p["to_output"]["kernel"] + p["to_output"]["bias"], idx
+
+        # ONE compiled program for fused + reference (every program saved
+        # here is compile-service budget handed to the flagship child)
+        recon_f, idx_f, recon_x, idx_x = jax.jit(
+            lambda v, x: (
+                *model.apply(v, x, method=model.roundtrip_fused),
+                *xla_reference(v, x),
+            )
+        )(chk_vars, x_chk)
+        idx_mismatch = int(jnp.sum(idx_f != idx_x))
+        agree = (idx_f == idx_x)[:, None]
+        pallas_max_err = float(
+            jnp.max(jnp.abs(jnp.where(agree, recon_f - recon_x, 0.0)))
+        )
+        assert idx_mismatch <= 4, (
+            f"Pallas fused kernel disagrees with same-math XLA on "
+            f"{idx_mismatch}/4096 codebook assignments (ulp-level Voronoi "
+            f"ties would explain <=4)"
+        )
+        assert pallas_max_err < 5e-3, (
+            f"Pallas fused recon max|err|={pallas_max_err:.2e} exceeds "
+            f"tolerance 5e-3 on assignment-agreeing rows"
+        )
+        result["pallas_recon_max_err"] = round(pallas_max_err, 6)
+        _write_partial(result)  # gate passed: never lose this fact
+
+    @jax.jit
+    def chain(v, x, n):
+        """n chained roundtrips ON DEVICE (lax.fori_loop): one dispatch, one
+        scalar fetch - immune to per-call RPC jitter on tunneled backends.
+        Feeding the reconstruction back as input serializes iterations.
+        n is TRACED (dynamic trip count) so both chain lengths share one
+        compiled program — compile time is budget shared with the child."""
+
+        def body(_, y):
+            recon, _ = model.apply(v, y, method=method)
+            return recon
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x))
+
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(BATCH, FEATURE_DIM).astype(np.float32)
+    )
+
+    # 101 iters keeps the measured window ~60ms (plenty vs the ~us-level
+    # timer noise after differencing) without overstaying the leg timeout.
+    n_short, n_long = (1, 5) if not on_tpu else (1, 101)
+    # warmup (one compile serves both trip counts)
+    float(chain(variables, x, n_short))
+    float(chain(variables, x, n_long))
+
+    t0 = time.perf_counter()
+    float(chain(variables, x, n_short))
+    t_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(chain(variables, x, n_long))
+    t_long = time.perf_counter() - t0
+    per_iter = max((t_long - t_short) / (n_long - n_short), 1e-9)
+    chunks_per_sec = BATCH / per_iter
+    baseline = 10_000.0  # north-star target (BASELINE.md)
+    result.update({
+        "metric": "lipvq_tokenize_detokenize_throughput",
+        "value": round(chunks_per_sec, 1),
+        "unit": "chunks/sec/chip",
+        "vs_baseline": round(chunks_per_sec / baseline, 3),
+    })
+    _write_partial(result)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

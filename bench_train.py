@@ -171,6 +171,9 @@ if __name__ == "__main__":
         # launched speculatively (before the parent knows its backend):
         # bail out cheaply on CPU, where batch-64 image training is
         # infeasible. rc=3 tells the parent "skipped, not failed".
+        # Package import FIRST: it honors RMVQ_FORCE_CPU before the
+        # backend initializes (bare jax would contact the axon tunnel).
+        import robot_manipulation_vq_vae_tpu  # noqa: F401
         import jax
 
         if jax.default_backend() == "cpu":

@@ -45,7 +45,7 @@ def write_synthetic(path, n_demos=8, t=120, img=(128, 128, 3), n_cams=3):
 
 
 def bench(path, cache_mode, batch_size=64, seq_length=16, n_batches=30,
-          num_workers=2, reuse_buffers=False):
+          num_workers=2, reuse_buffers=False, results=None):
     from robot_manipulation_vq_vae_tpu.data.dataset import SequenceDataset
     from robot_manipulation_vq_vae_tpu.data.loader import DataLoader
 
@@ -78,7 +78,7 @@ def bench(path, cache_mode, batch_size=64, seq_length=16, n_batches=30,
         n += batch["actions"].shape[0]
     dt = time.perf_counter() - t0
     bytes_per_sample = seq_length * 3 * 128 * 128 * 3
-    print(json.dumps({
+    entry = {
         "metric": "host_loader_throughput",
         "value": round(n / dt, 1),
         "unit": (
@@ -86,7 +86,18 @@ def bench(path, cache_mode, batch_size=64, seq_length=16, n_batches=30,
             f"reuse={reuse_buffers})"
         ),
         "gbytes_per_sec": round(n / dt * bytes_per_sample / 1e9, 2),
-    }))
+    }
+    print(json.dumps(entry))
+    if results is not None:
+        # flush after EACH configuration so a deadline kill from the bench
+        # orchestrator (bench.py loader leg) still captures completed ones
+        results.append(entry)
+        result_file = os.environ.get("RMVQ_RESULT_FILE")
+        if result_file:
+            tmp = result_file + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(results, f)
+            os.replace(tmp, result_file)
 
 
 if __name__ == "__main__":
@@ -101,6 +112,15 @@ if __name__ == "__main__":
         path = write_synthetic(os.path.join(tmp, "bench.hdf5"))
     else:
         path = args.dataset
-    for cache_mode, reuse in (("all", True), ("all", False), (None, False)):
+    quick = os.environ.get("RMVQ_LOADER_QUICK", "0") == "1"
+    # quick mode (bench.py opportunistic leg): the production path only
+    # (in-memory cache + reused buffers), fewer batches, ~30 s total
+    configs = (
+        (("all", True),) if quick
+        else (("all", True), ("all", False), (None, False))
+    )
+    results = []
+    for cache_mode, reuse in configs:
         bench(path, cache_mode, batch_size=args.batch_size,
-              num_workers=args.num_workers, reuse_buffers=reuse)
+              num_workers=args.num_workers, reuse_buffers=reuse,
+              n_batches=15 if quick else 30, results=results)
