@@ -126,3 +126,88 @@ def test_hvqvae_train_step_sharded_vs_single():
             float(info1["losses"][k]), float(info2["losses"][k]),
             rtol=1e-4, atol=1e-5,
         )
+
+
+@pytest.mark.slow
+def test_hvqvae_multi_step_sharded_trajectory_and_serving():
+    """FOUR consecutive dp-sharded flagship steps track the unsharded
+    trajectory — per-step losses, final params, and BOTH optimizers' Adam
+    moments (EMA/moment dp-aggregation drift only shows up after step 1) —
+    and the SERVING path (get_action) matches under the mesh. Reference
+    semantics: EMA robomimic/algo/heirarchical_vqvae.py:498-588, serving
+    robomimic/algo/algo.py:666-924. The rgb+FiLM variant of this check
+    (plus the VQ-collection comparison) runs in dryrun_multichip."""
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+
+    config = ge._tiny_config()
+    batches_np = [ge._make_batch(b=8, seed=s) for s in range(4)]
+
+    algo_ref = ge._make_algo(config)
+    jbatches = []
+    for b in batches_np:
+        pb = algo_ref.process_batch_for_training(b)
+        jbatches.append({
+            "obs": {k: jnp.asarray(v) for k, v in pb["obs"].items()},
+            "actions": jnp.asarray(pb["actions"]),
+        })
+    ref_losses = [
+        float(algo_ref.train_on_batch(jb, epoch=0)["losses"]["action_loss"])
+        for jb in jbatches
+    ]
+
+    algo_sh = ge._make_algo(config)
+    algo_sh.ensure_state(jbatches[0])
+    mesh = make_mesh(n_devices=8, mp=1)
+    with mesh:
+        algo_sh.state = shard_state(mesh, algo_sh.state)
+        for step, jb in enumerate(jbatches):
+            info = algo_sh.train_on_batch(shard_batch(mesh, jb), epoch=0)
+            np.testing.assert_allclose(
+                float(info["losses"]["action_loss"]), ref_losses[step],
+                rtol=1e-4, atol=1e-5,
+                err_msg=f"sharded step-{step} loss diverges",
+            )
+
+    # final-state equivalence: params and every optimizer's moments.
+    # fp32 reduction-order noise is amplified by Adam's 1/sqrt(nu) early in
+    # training, hence looser-than-loss per-element bounds; aggregation bugs
+    # produce O(n_devices)-factor errors.
+    assert set(algo_sh.state.opt_states) == set(algo_ref.state.opt_states)
+    for tag, sh_tree, ref_tree in (
+        [("params", algo_sh.state.params, algo_ref.state.params)]
+        + [(f"opt[{n}]", algo_sh.state.opt_states[n],
+            algo_ref.state.opt_states[n])
+           for n in sorted(algo_sh.state.opt_states)]
+    ):
+        sh = jax.tree_util.tree_flatten_with_path(jax.device_get(sh_tree))
+        rf = jax.tree_util.tree_flatten_with_path(jax.device_get(ref_tree))
+        assert sh[1] == rf[1], f"{tag}: tree structure differs"
+        for (path, a), (_, b) in zip(sh[0], rf[0]):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=5e-4, rtol=1e-2,
+                err_msg=f"{tag}{jax.tree_util.keystr(path)} diverges after "
+                        f"4 sharded steps",
+            )
+
+    # serving path under the mesh: both algos consumed identical RNG
+    # streams (same seed, same step count), so sample keys match
+    rng = np.random.RandomState(7)
+    obs = {
+        k: rng.randn(8, ge.H, *s).astype(np.float32)
+        for k, s in ge.OBS_KEYS.items()
+    }
+    ctx = {
+        "obs": {k: v.copy() for k, v in obs.items()},
+        "actions": rng.randn(8, ge.H, ge.A).astype(np.float32),
+    }
+    act_ref = np.asarray(algo_ref.get_action(obs, context_batch=ctx))
+    with mesh:
+        act_sh = np.asarray(algo_sh.get_action(obs, context_batch=ctx))
+    np.testing.assert_allclose(
+        act_sh, act_ref, atol=1e-3, rtol=1e-3,
+        err_msg="sharded get_action diverges from unsharded serving",
+    )
