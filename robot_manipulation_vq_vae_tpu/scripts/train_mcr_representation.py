@@ -7,11 +7,15 @@ periodically snapshots; ``--export_trunk`` writes the trunk in the pickle
 format the MCR *policy* consumes via ``RMVQ_MCR_CKPT`` (``algo/mcr.py``).
 
 The reference's ego4d/droid video loaders consume external datasets that
-are not part of the framework; this CLI accepts either ``--dataset
-synthetic`` (dry runs / smoke tests) or ``--dataset <path.npz>`` with
-arrays ``images`` [N, 5, H, W, 3] uint8, ``actions`` [N, 5, A] and
-optionally ``state_s0``/``state_s2`` [N, D] — the MCR batch layout
-(see ``algo/mcr_pretrain.py`` module docstring).
+are not part of the framework; this CLI accepts ``--dataset synthetic``
+(dry runs / smoke tests), ``--dataset <path.npz>`` with arrays ``images``
+[N, 5, H, W, 3] uint8, ``actions`` [N, 5, A] and optionally
+``state_s0``/``state_s2`` [N, D] — the MCR batch layout (see
+``algo/mcr_pretrain.py`` module docstring) — or ``--dataset <path.hdf5>``:
+the framework's own robot-demo HDF5, sampled online with the reference
+droid loader's temporal-distance scheme via ``data/mcr_adapter.py``
+(pass ``--views cam0_image,cam1_image`` and optionally
+``--state_keys proprio``).
 
 Example::
 
@@ -56,7 +60,48 @@ def build_parser():
     # synthetic-data knobs
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--action_dim", type=int, default=7)
+    # hdf5-adapter knobs (MCRHdf5Buffer; reference droid loader surface,
+    # data_loaders.py:120-150)
+    p.add_argument("--views", default="",
+                   help="comma-separated camera-view obs keys (hdf5 only)")
+    p.add_argument("--state_keys", default="",
+                   help="comma-separated low-dim obs keys concatenated "
+                        "into the s0/s2 state windows (hdf5 only)")
+    p.add_argument("--alpha", type=float, default=0.2,
+                   help="start/end temporal sampling margin (hdf5 only)")
+    p.add_argument("--cache_mode", default="all",
+                   choices=("all", "low_dim", "none"),
+                   help="SequenceDataset hdf5 cache mode (hdf5 only)")
     return p
+
+
+def _hdf5_buffer(path, args, seed):
+    """MCR batches sampled online from the framework's own robot-demo
+    HDF5 (SequenceDataset -> MCRHdf5Buffer bridge)."""
+    from robot_manipulation_vq_vae_tpu.data.dataset import SequenceDataset
+    from robot_manipulation_vq_vae_tpu.data.mcr_adapter import MCRHdf5Buffer
+
+    views = [v for v in args.views.split(",") if v]
+    if not views:
+        raise SystemExit("--views is required with an hdf5 dataset "
+                         "(comma-separated camera-view obs keys)")
+    state_keys = [s for s in args.state_keys.split(",") if s]
+    ds = SequenceDataset(
+        hdf5_path=path,
+        obs_keys=views + state_keys,
+        action_keys=["actions"],
+        dataset_keys=("actions",),
+        action_config={},
+        seq_length=1,
+        frame_stack=1,
+        load_next_obs=False,
+        hdf5_cache_mode=None if args.cache_mode == "none" else args.cache_mode,
+    )
+    return iter(MCRHdf5Buffer(
+        ds, views, batch_size=args.batch_size, alpha=args.alpha,
+        state_keys=state_keys, state_window=args.state_window,
+        use_action=args.use_action, seed=seed,
+    ))
 
 
 def _npz_batches(path, batch_size, seed):
@@ -95,6 +140,9 @@ def run(args):
             args.batch_size, args.image_size, args.action_dim,
             state_dim=state_dim, seed=args.seed + 1,
         )
+    elif args.dataset.endswith((".hdf5", ".h5")):
+        train_iter = _hdf5_buffer(args.dataset, args, args.seed)
+        val_iter = _hdf5_buffer(args.dataset, args, args.seed + 1)
     else:
         train_iter = _npz_batches(args.dataset, args.batch_size, args.seed)
         val_iter = _npz_batches(args.dataset, args.batch_size, args.seed + 1)
