@@ -584,6 +584,128 @@ def exp_epilogue_decomp(args):
     return result
 
 
+def exp_packed_trunk(args):
+    """Grouped-conv packing (VERDICT r3 #3a): the 3 per-camera FiLM
+    trunks as ONE feature_group_count=3 trunk — identical math, separate
+    weights (equivalence proven in tests/test_packed_film.py). Measures
+    fwd+bwd of both variants at flagship shapes and reports the speedup.
+    Targets the 8%-of-peak stem and 34%-of-peak stage1: packing triples
+    the work per launched op without changing any numbers."""
+    import jax
+    import jax.numpy as jnp
+
+    from robot_manipulation_vq_vae_tpu.models.base_nets import (
+        ResNet18ConvFiLM,
+    )
+    from robot_manipulation_vq_vae_tpu.models.packed_film import (
+        PackedResNet18ConvFiLM,
+        pack_film_resnet18_params,
+    )
+
+    N, H = args.packed_frames, args.packed_img
+    LANG, G = 768, 3
+    rng = np.random.RandomState(0)
+    x_cams = [
+        jnp.asarray(rng.randn(N, H, H, 3), jnp.bfloat16) for _ in range(G)
+    ]
+    lang = jnp.asarray(rng.randn(N, LANG), jnp.bfloat16)
+
+    models = [ResNet18ConvFiLM() for _ in range(G)]
+    variables = [
+        m.init(jax.random.PRNGKey(10 + g), x_cams[g].astype(jnp.float32),
+               lang.astype(jnp.float32), train=False)
+        for g, m in enumerate(models)
+    ]
+    bf16 = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda a: a.astype(jnp.bfloat16), t
+    )
+    sep_params = [bf16(v["params"]) for v in variables]
+    sep_stats = [v["batch_stats"] for v in variables]
+
+    def sep_loss(params_list):
+        total = jnp.float32(0.0)
+        for g in range(G):
+            out = models[g].apply(
+                {"params": params_list[g], "batch_stats": sep_stats[g]},
+                x_cams[g], lang, train=True, mutable=["batch_stats"],
+            )[0]
+            total = total + jnp.sum(out.astype(jnp.float32))
+        return total
+
+    packed_vars = pack_film_resnet18_params(variables)
+    packed_params = bf16(packed_vars["params"])
+    packed_stats = packed_vars["batch_stats"]
+    pm = PackedResNet18ConvFiLM(groups=G)
+    x_packed = jnp.concatenate(x_cams, axis=-1)
+
+    def packed_loss(params):
+        out = pm.apply(
+            {"params": params, "batch_stats": packed_stats},
+            x_packed, lang, train=True, mutable=["batch_stats"],
+        )[0]
+        return jnp.sum(out.astype(jnp.float32))
+
+    def measure(loss_fn, params):
+        """fwd+bwd chain timing, params carried (training-like: no image
+        gradient), differenced across two trip counts (design.md §7)."""
+        grad_fn = jax.grad(loss_fn)
+
+        @functools.partial(jax.jit, static_argnames="n")
+        def chain(p, n):
+            def body(_, p):
+                g = grad_fn(p)
+                return jax.tree_util.tree_map(
+                    lambda a, b: a - jnp.asarray(1e-9, a.dtype) *
+                    b.astype(a.dtype), p, g,
+                )
+
+            out = jax.lax.fori_loop(0, n, body, p)
+            return sum(
+                jnp.sum(leaf.astype(jnp.float32))
+                for leaf in jax.tree_util.tree_leaves(out)
+            )
+
+        n_short, n_long = 1, args.stage_n_long
+        float(chain(params, n_short))
+        float(chain(params, n_long))
+        t0 = time.perf_counter()
+        float(chain(params, n_short))
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(chain(params, n_long))
+        t_l = time.perf_counter() - t0
+        ms = (t_l - t_s) / (n_long - n_short) * 1e3
+        tf = None
+        try:
+            cost = (
+                jax.jit(grad_fn).lower(params).compile().cost_analysis()
+            )
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            if cost:
+                tf = float(cost.get("flops", 0.0)) / 1e12
+        except Exception:
+            pass
+        row = {"ms": round(ms, 2)}
+        if tf:
+            row["tflop"] = round(tf, 3)
+            row["tflops_per_sec"] = round(tf / (ms / 1e3), 1)
+            row["pct_of_peak"] = round(
+                100.0 * (tf / (ms / 1e3)) / V5E_BF16_PEAK_TFLOPS, 1
+            )
+        return row
+
+    sep = measure(sep_loss, sep_params)
+    packed = measure(packed_loss, packed_params)
+    result = {
+        "frames_per_camera": N, "img": H,
+        "separate_3x": sep, "packed_g3": packed,
+    }
+    if sep.get("ms") and packed.get("ms"):
+        result["speedup"] = round(sep["ms"] / packed["ms"], 3)
+    return result
+
+
 EXPERIMENTS = {
     "baseline": exp_baseline,
     "bn_frozen": exp_bn_frozen,
@@ -595,6 +717,7 @@ EXPERIMENTS = {
     "stem_micro": exp_stem_micro,
     "stem_epilogue_micro": exp_stem_epilogue_micro,
     "epilogue_decomp": exp_epilogue_decomp,
+    "packed_trunk": exp_packed_trunk,
 }
 
 
@@ -608,6 +731,10 @@ def main(argv=None):
     p.add_argument("--n_long", type=int, default=6)
     p.add_argument("--stage_frames", type=int, default=3072)
     p.add_argument("--stage_n_long", type=int, default=6)
+    p.add_argument("--packed_frames", type=int, default=1024,
+                   help="frames PER CAMERA for the packed_trunk experiment "
+                        "(flagship: batch 64 x ctx 16)")
+    p.add_argument("--packed_img", type=int, default=116)
     args = p.parse_args(argv)
 
     from robot_manipulation_vq_vae_tpu.utils.train_utils import (
