@@ -584,6 +584,66 @@ def exp_epilogue_decomp(args):
     return result
 
 
+def exp_pool_argmax(args):
+    """Recorded-argmax pool backward (VERDICT r3 #3b): fwd+bwd of the
+    stem's ReLU+maxpool at flagship stem-activation shape, comparing XLA's
+    SelectAndScatter gradient against ops/pool_argmax.py's index-routed
+    backward (argmax recorded in the forward, exactness proven in
+    tests/test_pool_argmax.py — torch-compatible FIRST-max tie routing).
+    Unlike every round-3 formulation, the backward neither recomputes the
+    selection nor reads the forward activation."""
+    import jax
+    import jax.numpy as jnp
+
+    from robot_manipulation_vq_vae_tpu.ops.pool_argmax import (
+        max_pool_3x3_s2_argmax,
+        reference_maxpool,
+    )
+
+    N, H, C = args.stage_frames, 58, 64
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(N, H, H, C).astype(np.float32), jnp.bfloat16)
+
+    def make_loss(pool):
+        def loss(x):
+            out = pool(jax.nn.relu(x))
+            return jnp.sum(out.astype(jnp.float32))
+        return loss
+
+    def time_fwd_bwd(pool):
+        grad_fn = jax.grad(make_loss(pool))
+
+        @functools.partial(jax.jit, static_argnames="n")
+        def chain(x, n):
+            def body(_, x):
+                g = grad_fn(x)
+                return x + jnp.bfloat16(1e-6) * g
+
+            out = jax.lax.fori_loop(0, n, body, x)
+            return jnp.sum(out.astype(jnp.float32))
+
+        n_s, n_l = 1, args.stage_n_long
+        float(chain(x, n_s))
+        float(chain(x, n_l))
+        t0 = time.perf_counter()
+        float(chain(x, n_s))
+        ts = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(chain(x, n_l))
+        tl = time.perf_counter() - t0
+        return (tl - ts) / (n_l - n_s) * 1e3
+
+    sas_ms = time_fwd_bwd(reference_maxpool)
+    argmax_ms = time_fwd_bwd(max_pool_3x3_s2_argmax)
+    result = {
+        "frames": N, "activation": [N, H, H, C],
+        "select_and_scatter_ms": round(sas_ms, 2),
+        "recorded_argmax_ms": round(argmax_ms, 2),
+        "speedup": round(sas_ms / argmax_ms, 3) if argmax_ms else None,
+    }
+    return result
+
+
 def exp_packed_trunk(args):
     """Grouped-conv packing (VERDICT r3 #3a): the 3 per-camera FiLM
     trunks as ONE feature_group_count=3 trunk — identical math, separate
@@ -718,6 +778,7 @@ EXPERIMENTS = {
     "stem_epilogue_micro": exp_stem_epilogue_micro,
     "epilogue_decomp": exp_epilogue_decomp,
     "packed_trunk": exp_packed_trunk,
+    "pool_argmax": exp_pool_argmax,
 }
 
 
