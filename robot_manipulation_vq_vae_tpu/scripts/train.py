@@ -229,6 +229,10 @@ def train(config, eval_only=False, auto_resume=False):
         )
 
     best_return = {k: -np.inf for k in envs}
+    # per-epoch numeric summaries (timing buckets, losses), returned to
+    # programmatic callers — flagship_smoke derives its steady-state
+    # steps/s from the LAST epoch (the first pays the XLA compile)
+    epoch_history = []
     best_success_rate = {k: -1.0 for k in envs}
     last_ckpt_time = time.time()
 
@@ -436,10 +440,17 @@ def train(config, eval_only=False, auto_resume=False):
 
         if "Loss" in step_log:
             print(f"Epoch {epoch}: Loss {step_log['Loss']:.6f}")
+        epoch_history.append({
+            "epoch": epoch,
+            "num_steps": train_num_steps,
+            **{k: float(v) for k, v in step_log.items()
+               if isinstance(v, (int, float, np.floating, np.integer))},
+        })
         if eval_only:
             break
 
     data_logger.close()
+    return epoch_history
 
 
 def main(args):
