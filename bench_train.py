@@ -13,9 +13,13 @@ import os
 import time
 
 
-def measure(mixed_precision=False, batch_size=64, n_long=11,
-            frozen_batch_norm=False, pool_free_stem=False):
-    """Measure flagship train-step throughput; returns the result dict."""
+def build_flagship(mixed_precision=False, batch_size=64,
+                   frozen_batch_norm=False, pool_free_stem=False,
+                   context_length=16, img_hw=128):
+    """Construct the flagship ICLTransformerHVQVAE algo at the reference's
+    shipped scale plus a device-side synthetic batch maker. Shared by the
+    throughput bench below and scripts/training_quality_run.py (which
+    varies the batch per step to exercise codebook dynamics)."""
     import jax
     import jax.numpy as jnp
 
@@ -30,9 +34,9 @@ def measure(mixed_precision=False, batch_size=64, n_long=11,
     from robot_manipulation_vq_vae_tpu.utils import obs_utils as ObsUtils
     import robot_manipulation_vq_vae_tpu.algo as AlgoReg
 
-    B, H = batch_size, 16
+    B, H = batch_size, context_length
     A = 12
-    IMG = (128, 128, 3)
+    IMG = (img_hw, img_hw, 3)
     LOW_DIM = {
         "robot0_base_to_eef_pos": (3,),
         "robot0_base_to_eef_quat": (4,),
@@ -63,8 +67,9 @@ def measure(mixed_precision=False, batch_size=64, n_long=11,
                              "temperature": 1.0, "noise_std": 0.0},
         }
         config.observation.encoder.rgb.obs_randomizer_class = "CropRandomizer"
+        crop = img_hw - 12  # shipped ratio: 128 -> 116
         config.observation.encoder.rgb.obs_randomizer_kwargs = {
-            "crop_height": 116, "crop_width": 116, "num_crops": 1,
+            "crop_height": crop, "crop_width": crop, "num_crops": 1,
             "pos_enc": False,
         }
         config.algo.transformer.enabled = True
@@ -86,25 +91,43 @@ def measure(mixed_precision=False, batch_size=64, n_long=11,
         "icl", config, obs_key_shapes=obs_key_shapes, ac_dim=A
     )
 
-    # synthesize the batch ON DEVICE: benchmark environments reach the chip
-    # over a slow tunnel, so host->device image uploads would dominate and
-    # measure the tunnel, not the training step
-    key = jax.random.PRNGKey(0)
-    batch = {"obs": {}}
-    batch["actions"] = jax.random.uniform(
-        jax.random.fold_in(key, 1), (B, H, A), jnp.float32, -1, 1
-    )
-    for i, (k, s) in enumerate(LOW_DIM.items()):
-        batch["obs"][k] = jax.random.normal(
-            jax.random.fold_in(key, 10 + i), (B, H) + s
+    def make_batch(seed=0):
+        """Synthesize a batch ON DEVICE: benchmark environments reach the
+        chip over a slow tunnel, so host->device image uploads would
+        dominate and measure the tunnel, not the training step. Different
+        seeds give independent batches (training-quality runs cycle them
+        so codebook dynamics see varied data)."""
+        key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+        batch = {"obs": {}}
+        batch["actions"] = jax.random.uniform(
+            jax.random.fold_in(key, 1), (B, H, A), jnp.float32, -1, 1
         )
-    for i, c in enumerate(CAMS):
-        batch["obs"][c] = jax.random.randint(
-            jax.random.fold_in(key, 20 + i), (B, H) + IMG, 0, 255, jnp.uint8
+        for i, (k, s) in enumerate(LOW_DIM.items()):
+            batch["obs"][k] = jax.random.normal(
+                jax.random.fold_in(key, 10 + i), (B, H) + s
+            )
+        for i, c in enumerate(CAMS):
+            batch["obs"][c] = jax.random.randint(
+                jax.random.fold_in(key, 20 + i), (B, H) + IMG, 0, 255,
+                jnp.uint8,
+            )
+        batch["obs"]["lang_emb"] = jax.random.normal(
+            jax.random.fold_in(key, 30), (B, H, 768)
         )
-    batch["obs"]["lang_emb"] = jax.random.normal(
-        jax.random.fold_in(key, 30), (B, H, 768)
+        return batch
+
+    return algo, make_batch
+
+
+def measure(mixed_precision=False, batch_size=64, n_long=11,
+            frozen_batch_norm=False, pool_free_stem=False):
+    """Measure flagship train-step throughput; returns the result dict."""
+    algo, make_batch = build_flagship(
+        mixed_precision=mixed_precision, batch_size=batch_size,
+        frozen_batch_norm=frozen_batch_norm, pool_free_stem=pool_free_stem,
     )
+    B = batch_size
+    batch = make_batch(0)
 
     t0 = time.perf_counter()
     info = algo.train_on_batch(batch, epoch=0)  # init + compile
