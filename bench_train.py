@@ -15,7 +15,8 @@ import time
 
 def build_flagship(mixed_precision=False, batch_size=64,
                    frozen_batch_norm=False, pool_free_stem=False,
-                   context_length=16, img_hw=128):
+                   context_length=16, img_hw=128,
+                   packed_rgb_encoders=False):
     """Construct the flagship ICLTransformerHVQVAE algo at the reference's
     shipped scale plus a device-side synthetic batch maker. Shared by the
     throughput bench below and scripts/training_quality_run.py (which
@@ -84,6 +85,7 @@ def build_flagship(mixed_precision=False, batch_size=64,
         config.train.mixed_precision = mixed_precision
         config.train.frozen_batch_norm = frozen_batch_norm
         config.train.pool_free_stem = pool_free_stem
+        config.train.packed_rgb_encoders = packed_rgb_encoders
     config.lock()
     ObsUtils.initialize_obs_utils_with_config(config)
 
@@ -120,11 +122,13 @@ def build_flagship(mixed_precision=False, batch_size=64,
 
 
 def measure(mixed_precision=False, batch_size=64, n_long=11,
-            frozen_batch_norm=False, pool_free_stem=False):
+            frozen_batch_norm=False, pool_free_stem=False,
+            packed_rgb_encoders=False):
     """Measure flagship train-step throughput; returns the result dict."""
     algo, make_batch = build_flagship(
         mixed_precision=mixed_precision, batch_size=batch_size,
         frozen_batch_norm=frozen_batch_norm, pool_free_stem=pool_free_stem,
+        packed_rgb_encoders=packed_rgb_encoders,
     )
     B = batch_size
     batch = make_batch(0)
@@ -180,6 +184,10 @@ def measure(mixed_precision=False, batch_size=64, n_long=11,
         result["frozen_batch_norm"] = True
     if pool_free_stem:
         result["pool_free_stem"] = True  # ditto (config.train.pool_free_stem)
+    if packed_rgb_encoders:
+        # identical-math layout mode (config.train.packed_rgb_encoders):
+        # flagged for provenance, NOT a semantic divergence
+        result["packed_rgb_encoders"] = True
     if step_flops:
         result["tflops_per_sec"] = round(step_flops * steps_per_sec / 1e12, 1)
     return result
@@ -209,6 +217,7 @@ if __name__ == "__main__":
         n_long=int(os.environ.get("RMVQ_NLONG", "6")),
         frozen_batch_norm=os.environ.get("RMVQ_BN_FROZEN", "0") == "1",
         pool_free_stem=os.environ.get("RMVQ_POOL_FREE", "0") == "1",
+        packed_rgb_encoders=os.environ.get("RMVQ_PACKED", "0") == "1",
     )
     # write to a result file as soon as measured (more robust than stdout
     # harvesting if the parent kills us between print and flush)

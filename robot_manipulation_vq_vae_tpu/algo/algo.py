@@ -113,6 +113,13 @@ class Algo:
         set_pool_free_stem(
             bool(global_config.train.get("pool_free_stem", False))
         )
+        from robot_manipulation_vq_vae_tpu.models.obs_nets import (
+            set_packed_rgb_encoders,
+        )
+
+        set_packed_rgb_encoders(
+            bool(global_config.train.get("packed_rgb_encoders", False))
+        )
 
         self._create_shapes(obs_config.modalities, obs_key_shapes)
         self._create_networks()

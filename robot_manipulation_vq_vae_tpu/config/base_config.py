@@ -165,6 +165,14 @@ class BaseConfig(Config, metaclass=ConfigMeta):
         # docs/design.md §4). DIVERGES from torchvision stem features —
         # off by default.
         self.train.pool_free_stem = False
+        # Opt-in speed mode: run all same-config per-camera FiLM-ResNet18
+        # rgb encoders as ONE grouped-conv trunk (feature_group_count=G).
+        # IDENTICAL math with separate weights (tests/test_packed_film.py
+        # asserts outputs/BN-stats/grads at 1e-9 in f64) — only the param
+        # tree layout changes (per-key backbones merge into one
+        # 'packed_backbone'); models/packed_film.py has the layout
+        # converters. Off by default pending the on-chip win measurement.
+        self.train.packed_rgb_encoders = False
 
     def algo_config(self):
         """Populated by subclasses."""

@@ -176,6 +176,47 @@ def group_encoder_output_dim(observation_group_shapes, encoder_kwargs=None):
     )
 
 
+# Opt-in packed rgb encoders (`config.train.packed_rgb_encoders`): run all
+# same-config per-camera FiLM-ResNet18 trunks as ONE grouped-conv pass —
+# identical math, separate weights (models/packed_film.py). Process-global
+# like the base_nets speed modes; set before tracing via
+# set_packed_rgb_encoders (algo/algo.py pins it from the config).
+_PACKED_RGB = False
+
+
+def set_packed_rgb_encoders(enabled):
+    global _PACKED_RGB
+    _PACKED_RGB = bool(enabled)
+
+
+class _PackedCoreHead(nn.Module):
+    """The per-camera tail of a VisualCore (pool -> flatten -> proj) for
+    the packed-trunk path. Named ``core_{key}`` so its params live at the
+    SAME paths as the default path's pool/proj (only the backbone moves,
+    into the shared ``packed_backbone``)."""
+
+    pool_class: Optional[str]
+    pool_kwargs: Any
+    feature_dimension: Optional[int]
+    feat_shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        if self.pool_class is not None:
+            pcls = ObsCore._POOL_CLASSES[self.pool_class]
+            pkw = ObsCore._filter_kwargs(pcls, dict(self.pool_kwargs or {}))
+            pkw["input_shape"] = tuple(self.feat_shape)
+            x = pcls(**pkw, name="pool")(x, train=train)
+        x = x.reshape(x.shape[0], -1)
+        if self.feature_dimension is not None:
+            x = nn.Dense(
+                self.feature_dimension,
+                kernel_init=torch_linear_kernel_init,
+                name="proj",
+            )(x)
+        return x
+
+
 class ObservationEncoder(nn.Module):
     """Per-key core + randomizer encoder; concatenates flat features
     (reference ``ObservationEncoder`` obs_nets.py:240-461).
@@ -237,10 +278,74 @@ class ObservationEncoder(nn.Module):
         lang = core_class in ("VisualCoreLanguageConditioned",)
         return cls(**core_kwargs, name=f"core_{key}"), lang
 
+    def _packed_rgb_keys(self, spec):
+        """Keys eligible for the grouped-conv packed path: >=2 rgb keys
+        sharing one shape and one FiLM-ResNet18 VisualCore config (the
+        flagship's 3 cameras). Identical math — see models/packed_film.py."""
+        cand = []
+        sig = None
+        for key, shape in spec:
+            if ObsUtils.OBS_KEYS_TO_MODALITIES.get(key) != "rgb":
+                continue
+            cfg = self._key_config(key)
+            if cfg.get("core_class") != "VisualCoreLanguageConditioned":
+                return []
+            ckw = dict(cfg.get("core_kwargs") or {})
+            if ckw.get("backbone_class", "ResNet18ConvFiLM") != \
+                    "ResNet18ConvFiLM":
+                return []
+            bkw = dict(ckw.get("backbone_kwargs") or {})
+            if bkw.get("norm", "batch") != "batch" or bkw.get(
+                    "input_coord_conv", False):
+                return []
+            this_sig = (tuple(shape), repr(sorted(ckw.items())),
+                        repr(sorted(cfg.items())))
+            if sig is None:
+                sig = this_sig
+            elif this_sig != sig:
+                return []
+            cand.append(key)
+        return cand if len(cand) >= 2 else []
+
+    def _packed_rgb_features(self, packed_keys, randomized, lang_emb,
+                             train):
+        """One grouped-conv trunk pass for all packed cameras, then the
+        per-key pool/proj heads under their default param paths
+        (``core_{key}/pool``, ``core_{key}/proj``)."""
+        from robot_manipulation_vq_vae_tpu.models.packed_film import (
+            PackedResNet18ConvFiLM,
+        )
+
+        cfg = self._key_config(packed_keys[0])
+        ckw = dict(cfg.get("core_kwargs") or {})
+        g = len(packed_keys)
+        x = jnp.concatenate([randomized[k] for k in packed_keys], axis=-1)
+        x = PackedResNet18ConvFiLM(groups=g, name="packed_backbone")(
+            x, lang_emb, train=train
+        )
+        in_shape = randomized[packed_keys[0]].shape[-3:]
+        feat_shape = BaseNets.ResNet18ConvFiLM.output_shape(in_shape)
+        feats = {}
+        for i, key in enumerate(packed_keys):
+            per_cam = x[..., i * 512:(i + 1) * 512]
+            feats[key] = _PackedCoreHead(
+                pool_class=ckw.get("pool_class", "SpatialSoftmax"),
+                pool_kwargs=ckw.get("pool_kwargs"),
+                feature_dimension=ckw.get("feature_dimension", 64),
+                feat_shape=tuple(feat_shape),
+                name=f"core_{key}",
+            )(per_cam, train=train)
+        return feats
+
     @nn.compact
     def __call__(self, obs_dict, train=False):
         spec = _freeze_spec(self.obs_shapes)
-        feats = []
+        packed_keys = self._packed_rgb_keys(spec) if _PACKED_RGB else []
+
+        # pass 1: randomizer forward_in for EVERY key in spec order — the
+        # 'randomizer' rng draw order stays identical whether or not the
+        # packed path is on (each make_rng call folds in a counter)
+        randomized, rands_by_key = {}, {}
         for key, shape in spec:
             x = obs_dict[key]
             randomizers = self._build_randomizers(key, shape)
@@ -248,15 +353,35 @@ class ObservationEncoder(nn.Module):
                 if rand is not None:
                     rng = self.make_rng("randomizer") if train else None
                     x = rand.forward_in(x, rng=rng, train=train)
-            core, lang_conditioned = self._core_for(key, shape)
-            if core is not None:
-                if lang_conditioned:
-                    x = core(x, lang_emb=obs_dict[LANG_EMB_KEY], train=train)
-                else:
-                    x = core(x, train=train)
+            randomized[key] = x
+            rands_by_key[key] = randomizers
+
+        packed_feats = {}
+        if packed_keys:
+            packed_feats = self._packed_rgb_features(
+                packed_keys, randomized, obs_dict[LANG_EMB_KEY], train
+            )
+
+        # pass 2: cores + forward_out, features in spec order
+        feats = []
+        for key, shape in spec:
+            x = randomized[key]
+            if key in packed_feats:
+                x = packed_feats[key]
                 if self.feature_activation == "relu":
                     x = nn.relu(x)
-            for rand in randomizers:
+            else:
+                core, lang_conditioned = self._core_for(key, shape)
+                if core is not None:
+                    if lang_conditioned:
+                        x = core(
+                            x, lang_emb=obs_dict[LANG_EMB_KEY], train=train
+                        )
+                    else:
+                        x = core(x, train=train)
+                    if self.feature_activation == "relu":
+                        x = nn.relu(x)
+            for rand in rands_by_key[key]:
                 if rand is not None:
                     x = rand.forward_out(x)
             feats.append(x.reshape(x.shape[0], -1))

@@ -231,3 +231,163 @@ def unpack_grads_per_camera(packed_kernel_grad, groups, axis=-1):
     """Split a packed conv-kernel gradient back into per-camera grads
     (inverse of the output-axis concat) — used by the equivalence test."""
     return np.split(np.asarray(packed_kernel_grad), groups, axis=axis)
+
+
+def unpack_film_resnet18_params(packed_variables, groups):
+    """Inverse of :func:`pack_film_resnet18_params`: packed variables ->
+    list of G per-camera ResNet18ConvFiLM variable trees."""
+    p = packed_variables["params"]
+    s = packed_variables.get("batch_stats")  # None -> params-only unpack
+
+    def split(a):
+        return jnp.split(jnp.asarray(a), groups, axis=-1)
+
+    def split_film(a, channels):
+        a = jnp.asarray(a)
+        betas = jnp.split(a[..., :groups * channels], groups, axis=-1)
+        gammas = jnp.split(a[..., groups * channels:], groups, axis=-1)
+        return [jnp.concatenate([b, g], axis=-1)
+                for b, g in zip(betas, gammas)]
+
+    outs = [{"params": {"stem": {"conv1": {}, "bn1": {}}},
+             "batch_stats": {"stem": {"bn1": {}}}} for _ in range(groups)]
+    for g, k in enumerate(split(p["stem_conv1"]["kernel"])):
+        outs[g]["params"]["stem"]["conv1"]["kernel"] = k
+    for name in ("scale", "bias"):
+        for g, v in enumerate(split(p["stem_bn1"][name])):
+            outs[g]["params"]["stem"]["bn1"][name] = v
+    if s is not None:
+        for name in ("mean", "var"):
+            for g, v in enumerate(split(s["stem_bn1"][name])):
+                outs[g]["batch_stats"]["stem"]["bn1"][name] = v
+    for i, (feat, _) in enumerate(_RESNET18_PLAN):
+        blk = f"block{i}"
+        for g in range(groups):
+            outs[g]["params"][blk] = {}
+            outs[g]["batch_stats"][blk] = {}
+        for conv in ("conv1", "conv2", "down_conv"):
+            if conv in p[blk]:
+                for g, k in enumerate(split(p[blk][conv]["kernel"])):
+                    outs[g]["params"][blk][conv] = {"kernel": k}
+        for bn_name in ("bn1", "bn2", "down_bn"):
+            if bn_name in p[blk]:
+                for g in range(groups):
+                    outs[g]["params"][blk][bn_name] = {}
+                    outs[g]["batch_stats"][blk][bn_name] = {}
+                for name in ("scale", "bias"):
+                    for g, v in enumerate(split(p[blk][bn_name][name])):
+                        outs[g]["params"][blk][bn_name][name] = v
+                if s is not None:
+                    for name in ("mean", "var"):
+                        for g, v in enumerate(split(s[blk][bn_name][name])):
+                            outs[g]["batch_stats"][blk][bn_name][name] = v
+        film = f"film{i}"
+        for g in range(groups):
+            outs[g]["params"][film] = {"lang_proj": {}}
+        for name in ("kernel", "bias"):
+            for g, v in enumerate(
+                split_film(p[film]["lang_proj"][name], feat)
+            ):
+                outs[g]["params"][film]["lang_proj"][name] = v
+    return outs
+
+
+def _copy_dicts(node):
+    if isinstance(node, dict):
+        return {k: _copy_dicts(v) for k, v in node.items()}
+    return node
+
+
+def _find_pack_sites(node, names, path=()):
+    """Paths of dict nodes holding ALL per-camera ``core_{key}`` children
+    with 'backbone' subtrees (an ObservationEncoder can sit anywhere in a
+    policy's tree, and goal/obs groups may each hold one)."""
+    sites = []
+    if isinstance(node, dict):
+        if all(
+            isinstance(node.get(n), dict) and "backbone" in node[n]
+            for n in names
+        ):
+            sites.append(path)
+        for k, v in node.items():
+            if k in names:
+                continue
+            sites.extend(_find_pack_sites(v, names, path + (k,)))
+    return sites
+
+
+def _get_path(node, path):
+    for p in path:
+        node = node[p]
+    return node
+
+
+def convert_variables_default_to_packed(variables, packed_keys):
+    """Rewrite a DEFAULT-layout variable tree (per-key ``core_{k}`` each
+    holding backbone/pool/proj) into the PACKED layout the
+    ``packed_rgb_encoders`` mode traces (shared ``packed_backbone`` +
+    per-key pool/proj) — checkpoints move between modes losslessly."""
+    names = [f"core_{k}" for k in packed_keys]
+    out = {c: _copy_dicts(v) for c, v in variables.items()}
+    sites = _find_pack_sites(out["params"], names)
+    assert sites, f"no per-camera cores {names} found to pack"
+    for site in sites:
+        p_parent = _get_path(out["params"], site)
+        try:
+            s_parent = _get_path(out.get("batch_stats", {}), site)
+        except (KeyError, TypeError):
+            s_parent = None
+        cam_vars = [{
+            "params": p_parent[n].pop("backbone"),
+            "batch_stats": (
+                s_parent[n].pop("backbone")
+                if s_parent is not None and "backbone" in s_parent.get(n, {})
+                else {}
+            ),
+        } for n in names]
+        packed = pack_film_resnet18_params(cam_vars)
+        p_parent["packed_backbone"] = packed["params"]
+        if s_parent is not None:
+            if "batch_stats" in packed:
+                s_parent["packed_backbone"] = packed["batch_stats"]
+            for n in names:  # pool/proj carry no stats: drop empty stubs
+                if n in s_parent and not s_parent[n]:
+                    del s_parent[n]
+    return out
+
+
+def convert_variables_packed_to_default(variables, packed_keys):
+    """Inverse of :func:`convert_variables_default_to_packed`."""
+    names = [f"core_{k}" for k in packed_keys]
+    out = {c: _copy_dicts(v) for c, v in variables.items()}
+
+    def find_packed_sites(node, path=()):
+        sites = []
+        if isinstance(node, dict):
+            if "packed_backbone" in node and all(
+                isinstance(node.get(n), dict) for n in names
+            ):
+                sites.append(path)
+            for k, v in node.items():
+                if k == "packed_backbone" or k in names:
+                    continue
+                sites.extend(find_packed_sites(v, path + (k,)))
+        return sites
+
+    sites = find_packed_sites(out["params"])
+    assert sites, "no packed_backbone found to unpack"
+    for site in sites:
+        p_parent = _get_path(out["params"], site)
+        try:
+            s_parent = _get_path(out.get("batch_stats", {}), site)
+        except (KeyError, TypeError):
+            s_parent = None
+        packed = {"params": p_parent.pop("packed_backbone")}
+        if s_parent is not None and "packed_backbone" in s_parent:
+            packed["batch_stats"] = s_parent.pop("packed_backbone")
+        cams = unpack_film_resnet18_params(packed, len(names))
+        for n, cam in zip(names, cams):
+            p_parent[n]["backbone"] = cam["params"]
+            if s_parent is not None:
+                s_parent.setdefault(n, {})["backbone"] = cam["batch_stats"]
+    return out

@@ -644,6 +644,19 @@ def exp_pool_argmax(args):
     return result
 
 
+def exp_packed_step(args):
+    """The packed-rgb-encoder mode measured in the FULL flagship step
+    (config.train.packed_rgb_encoders — identical math, one grouped-conv
+    trunk for the 3 cameras). The trunk-only delta is exp_packed_trunk;
+    this is the adoption-decision number."""
+    import bench_train
+
+    return bench_train.measure(
+        mixed_precision=True, batch_size=64, n_long=args.n_long,
+        packed_rgb_encoders=True,
+    )
+
+
 def exp_packed_trunk(args):
     """Grouped-conv packing (VERDICT r3 #3a): the 3 per-camera FiLM
     trunks as ONE feature_group_count=3 trunk — identical math, separate
@@ -778,6 +791,7 @@ EXPERIMENTS = {
     "stem_epilogue_micro": exp_stem_epilogue_micro,
     "epilogue_decomp": exp_epilogue_decomp,
     "packed_trunk": exp_packed_trunk,
+    "packed_step": exp_packed_step,
     "pool_argmax": exp_pool_argmax,
 }
 
