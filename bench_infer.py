@@ -123,11 +123,16 @@ def main(batch_sizes=(1, 16), mixed_precision=False):
         }
         results.append(result)
         # flush each batch size to the result file as soon as measured, so
-        # a deadline kill from the bench harness still captures batch 1
+        # a deadline kill from the bench harness still captures batch 1.
+        # tmp + os.replace: a kill mid-write must not tear the file and
+        # lose the batches already flushed (same pattern as
+        # bench_tokenizer.py / bench_loader.py).
         path = os.environ.get("RMVQ_RESULT_FILE")
         if path:
-            with open(path, "w") as f:
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump(results, f)
+            os.replace(tmp, path)
         print(json.dumps(result))
     return results
 

@@ -181,6 +181,15 @@ def pack_film_resnet18_params(variable_trees):
     """
     params = [v["params"] for v in variable_trees]
     stats = [v.get("batch_stats", {}) for v in variable_trees]
+    # params-only trees (e.g. a frozen/exported checkpoint) pack without a
+    # batch_stats output; mixing stats-ful and stats-less trees is a caller
+    # bug that would otherwise surface as an opaque KeyError inside _cat.
+    has_stats = any(bool(s) for s in stats)
+    if has_stats and not all(bool(s) for s in stats):
+        raise ValueError(
+            "pack_film_resnet18_params: some variable trees carry "
+            "batch_stats and some do not — pack all-stats or no-stats trees"
+        )
 
     p_out = {
         "stem_conv1": {"kernel": _cat(params, ["stem", "conv1", "kernel"],
@@ -195,7 +204,7 @@ def pack_film_resnet18_params(variable_trees):
             "mean": _cat(stats, ["stem", "bn1", "mean"], -1),
             "var": _cat(stats, ["stem", "bn1", "var"], -1),
         },
-    }
+    } if has_stats else {}
     for i, (feat, stride) in enumerate(_RESNET18_PLAN):
         blk = f"block{i}"
         b_p, b_s = {}, {}
@@ -209,12 +218,14 @@ def pack_film_resnet18_params(variable_trees):
                     "scale": _cat(params, [blk, bn_name, "scale"], -1),
                     "bias": _cat(params, [blk, bn_name, "bias"], -1),
                 }
-                b_s[bn_name] = {
-                    "mean": _cat(stats, [blk, bn_name, "mean"], -1),
-                    "var": _cat(stats, [blk, bn_name, "var"], -1),
-                }
+                if has_stats:
+                    b_s[bn_name] = {
+                        "mean": _cat(stats, [blk, bn_name, "mean"], -1),
+                        "var": _cat(stats, [blk, bn_name, "var"], -1),
+                    }
         p_out[blk] = b_p
-        s_out[blk] = b_s
+        if has_stats:
+            s_out[blk] = b_s
         p_out[f"film{i}"] = {"lang_proj": {
             "kernel": _pack_film(params, [f"film{i}", "lang_proj", "kernel"],
                                  feat),
@@ -222,7 +233,7 @@ def pack_film_resnet18_params(variable_trees):
                                feat),
         }}
     out = {"params": p_out}
-    if any(s for s in stats):
+    if has_stats:
         out["batch_stats"] = s_out
     return out
 
@@ -322,15 +333,43 @@ def _get_path(node, path):
     return node
 
 
-def convert_variables_default_to_packed(variables, packed_keys):
+def _check_site_order(parent, names, packed_keys):
+    """Group i of the packed trunk is bound to camera ``packed_keys[i]`` by
+    POSITION — nothing in the tree can catch a reordered key list after the
+    fact. The traced packed path orders groups by obs-spec order, which is
+    also the ``core_{k}`` insertion order in a freshly traced/trained tree,
+    so a caller-supplied order that disagrees with the tree's own relative
+    order is almost certainly the spec-order bug. Raise loudly; a restored
+    tree whose dict order was canonicalized by a checkpointer can disable
+    the check with strict_order=False."""
+    tree_rel = [k for k in parent if k in set(names)]
+    if tree_rel != names:
+        raise ValueError(
+            "packed_keys order disagrees with the variable tree's own "
+            f"core_* order: got {names}, tree has {tree_rel}. Pass the rgb "
+            "keys in ObservationEncoder spec order (the order "
+            "_packed_rgb_keys traces), or strict_order=False if this tree "
+            "was key-sorted by a checkpointer and the caller order IS the "
+            "spec order."
+        )
+
+
+def convert_variables_default_to_packed(variables, packed_keys,
+                                        strict_order=True):
     """Rewrite a DEFAULT-layout variable tree (per-key ``core_{k}`` each
     holding backbone/pool/proj) into the PACKED layout the
     ``packed_rgb_encoders`` mode traces (shared ``packed_backbone`` +
-    per-key pool/proj) — checkpoints move between modes losslessly."""
+    per-key pool/proj) — checkpoints move between modes losslessly.
+
+    ``packed_keys`` MUST be in encoder spec order (see _check_site_order)."""
     names = [f"core_{k}" for k in packed_keys]
     out = {c: _copy_dicts(v) for c, v in variables.items()}
     sites = _find_pack_sites(out["params"], names)
     assert sites, f"no per-camera cores {names} found to pack"
+    if strict_order:
+        for site in sites:
+            _check_site_order(_get_path(out["params"], site), names,
+                              packed_keys)
     for site in sites:
         p_parent = _get_path(out["params"], site)
         try:
@@ -356,8 +395,12 @@ def convert_variables_default_to_packed(variables, packed_keys):
     return out
 
 
-def convert_variables_packed_to_default(variables, packed_keys):
-    """Inverse of :func:`convert_variables_default_to_packed`."""
+def convert_variables_packed_to_default(variables, packed_keys,
+                                        strict_order=True):
+    """Inverse of :func:`convert_variables_default_to_packed`.
+
+    ``packed_keys`` MUST be in encoder spec order (group i of the packed
+    trunk unpacks to camera ``packed_keys[i]`` by position)."""
     names = [f"core_{k}" for k in packed_keys]
     out = {c: _copy_dicts(v) for c, v in variables.items()}
 
@@ -376,6 +419,10 @@ def convert_variables_packed_to_default(variables, packed_keys):
 
     sites = find_packed_sites(out["params"])
     assert sites, "no packed_backbone found to unpack"
+    if strict_order:
+        for site in sites:
+            _check_site_order(_get_path(out["params"], site), names,
+                              packed_keys)
     for site in sites:
         p_parent = _get_path(out["params"], site)
         try:

@@ -191,3 +191,28 @@ def _gradient_check(models, variables, x_cams, lang):
             fk[:, G * 64 + g * 64:G * 64 + (g + 1) * 64], sep[:, 64:],
             rtol=1e-9, atol=1e-10, err_msg=f"film gamma grad cam {g}",
         )
+
+
+def test_params_only_pack_and_roundtrip(trunks_and_inputs):
+    """A stats-less (params-only) variable tree — e.g. a frozen/exported
+    checkpoint — must pack without a batch_stats output and round-trip
+    losslessly; mixing stats-ful and stats-less trees must raise."""
+    from robot_manipulation_vq_vae_tpu.models.packed_film import (
+        unpack_film_resnet18_params,
+    )
+
+    _, variables, _, _ = trunks_and_inputs
+    params_only = [{"params": v["params"]} for v in variables]
+    packed = pack_film_resnet18_params(params_only)
+    assert "batch_stats" not in packed
+    cams = unpack_film_resnet18_params(packed, G)
+    for g in range(G):
+        flat_in = jax.tree_util.tree_leaves(params_only[g]["params"])
+        flat_out = jax.tree_util.tree_leaves(cams[g]["params"])
+        assert len(flat_in) == len(flat_out)
+        for a, b in zip(flat_in, flat_out):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    mixed = [params_only[0]] + [dict(v) for v in variables[1:]]
+    with pytest.raises(ValueError, match="batch_stats"):
+        pack_film_resnet18_params(mixed)

@@ -208,3 +208,37 @@ def test_flagship_algo_trains_with_packed_encoders(packed_off):
         assert np.all(np.isfinite(act))
     finally:
         ge.RGB_KEYS = old_rgb
+
+
+def test_converter_rejects_reordered_keys(packed_off):
+    """Group i of the packed trunk is bound to packed_keys[i] by POSITION;
+    a key list that disagrees with the tree's own core_* order would
+    silently feed each camera through another camera's weights. The
+    converters must refuse it (strict_order escape hatch for trees whose
+    dict order was canonicalized by a checkpointer)."""
+    config = _make_config(packed=False)
+    enc = _encoder(config)
+    obs = _obs()
+    rngs = {"params": jax.random.PRNGKey(0),
+            "randomizer": jax.random.PRNGKey(1)}
+    ObsNets.set_packed_rgb_encoders(False)
+    v_def = {k: v for k, v in enc.init(rngs, obs, train=False).items()}
+    swapped = list(reversed(CAMS))
+    with pytest.raises(ValueError, match="spec order"):
+        convert_variables_default_to_packed(v_def, swapped)
+    v_packed = convert_variables_default_to_packed(v_def, CAMS)
+    with pytest.raises(ValueError, match="spec order"):
+        convert_variables_packed_to_default(v_packed, swapped)
+    # escape hatch still converts (caller asserts the order is spec order)
+    out = convert_variables_default_to_packed(
+        v_def, swapped, strict_order=False
+    )
+
+    def _has_packed(node):
+        if isinstance(node, dict):
+            return "packed_backbone" in node or any(
+                _has_packed(v) for v in node.values()
+            )
+        return False
+
+    assert _has_packed(out["params"])

@@ -23,7 +23,10 @@
 # seconds between probes) unless HARVEST_MAX_WAIT_S is set.
 
 set -u
-cd "$(dirname "$0")/.."
+# REPO_ROOT override lets the operator run a /tmp COPY of this script (bash
+# reads scripts incrementally, so editing the in-repo file mid-run would
+# corrupt a long-running instance launched from the repo path).
+cd "${REPO_ROOT:-$(dirname "$0")/..}"
 OUT=docs/harvest_r4
 mkdir -p "$OUT"
 LOG="$OUT/harvest.log"
@@ -48,8 +51,10 @@ until probe 90; do
 done
 note "TPU_ALIVE — starting harvest"
 
+FAILED_LEGS=""
+
 run_leg() { # run_leg <name> <timeout_s> <cmd...>
-  local name=$1 t=$2
+  local name=$1 t=$2 rc
   shift 2
   if ! probe 60; then
     note "leg $name SKIPPED — backend re-wedged; partial harvest preserved"
@@ -57,14 +62,24 @@ run_leg() { # run_leg <name> <timeout_s> <cmd...>
   fi
   note "leg $name start (timeout ${t}s)"
   timeout "$t" "$@" > "$OUT/$name.log" 2>&1
-  note "leg $name rc=$?"
+  rc=$?
+  note "leg $name rc=$rc"
+  [ "$rc" -ne 0 ] && FAILED_LEGS="$FAILED_LEGS $name(rc=$rc)"
 }
 
 run_leg bench   650  python bench.py
-run_leg mfu_r4  2700 python -m robot_manipulation_vq_vae_tpu.scripts.mfu_campaign \
-                       --exps packed_trunk,pool_argmax --out docs/mfu_campaign_r4.json
+# packed_step is the adoption-decision number for packed_rgb_encoders
+# (full-train-step delta); packed_trunk is its trunk-isolated diagnostic.
+run_leg mfu_r4  3600 python -m robot_manipulation_vq_vae_tpu.scripts.mfu_campaign \
+                       --exps packed_trunk,packed_step,pool_argmax \
+                       --out docs/mfu_campaign_r4.json
 run_leg steady  1800 env RMVQ_SMOKE_STEADY=1 \
                      python -m robot_manipulation_vq_vae_tpu.scripts.flagship_smoke
 run_leg quality 3600 python -m robot_manipulation_vq_vae_tpu.scripts.training_quality_run
 run_leg donate  900  env RMVQ_DONATE=1 RMVQ_BF16=1 python bench_train.py
+
+if [ -n "$FAILED_LEGS" ]; then
+  note "DONE WITH FAILURES:$FAILED_LEGS"
+  exit 1
+fi
 note "DONE — full harvest complete"
