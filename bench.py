@@ -40,7 +40,21 @@ import tempfile
 import time
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_STATE = {"result": {}, "printed": False}
+_STATE = {"result": {}, "printed": False, "live_procs": []}
+
+
+def _kill_live_procs():
+    """SIGKILL every still-running backend-touching subprocess (by process
+    group). The watchdog calls this before os._exit: children are started
+    with start_new_session=True, so a bare parent exit would ORPHAN them —
+    a wedged probe/compile child would keep holding the tunnel and corrupt
+    the next bench/harvest run."""
+    for proc in _STATE["live_procs"]:
+        if proc.poll() is None:
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except OSError:
+                pass
 
 
 def _emit(result=None):
@@ -77,6 +91,7 @@ def _watchdog(deadline):
                 "results follow"
             )
             _emit()
+            _kill_live_procs()
             os._exit(0)
 
     threading.Thread(target=run, daemon=True).start()
@@ -106,6 +121,7 @@ class _Child:
             env=env, cwd=_HERE, stdout=self.out_f, stderr=self.err_f,
             start_new_session=True,
         )
+        _STATE["live_procs"].append(self.proc)
 
     def poll(self):
         return self.proc.poll()
@@ -186,6 +202,7 @@ def _probe(timeout_sec):
         env=env, cwd=_HERE, stdout=out_f, stderr=out_f,
         start_new_session=True,
     )
+    _STATE["live_procs"].append(proc)
     backend = None
     t0 = time.perf_counter()
     while proc.poll() is None:
@@ -400,9 +417,10 @@ def main():
         # the flagship number is never jeopardized (it already landed)
         if landed and deadline - time.perf_counter() > 120.0:
             _run_infer_leg(deadline - 10.0)
-    if (
-        backend == "cpu" or _STATE["result"].get("flagship_train_steps_per_sec")
-    ) and deadline - time.perf_counter() > 60.0:
+    # host data-path leg: RMVQ_FORCE_CPU keeps it off the tunnel entirely,
+    # so it runs whenever budget remains — even if the flagship leg failed
+    # (by this point every backend-touching child has exited or been killed)
+    if deadline - time.perf_counter() > 60.0:
         _run_loader_leg(deadline - 8.0)
     _emit()
 

@@ -220,9 +220,13 @@ if __name__ == "__main__":
         packed_rgb_encoders=os.environ.get("RMVQ_PACKED", "0") == "1",
     )
     # write to a result file as soon as measured (more robust than stdout
-    # harvesting if the parent kills us between print and flush)
+    # harvesting if the parent kills us between print and flush); tmp +
+    # os.replace so a deadline kill mid-dump can't leave a torn file that
+    # discards the fully measured flagship number
     path = os.environ.get("RMVQ_RESULT_FILE")
     if path:
-        with open(path, "w") as f:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(result, f)
+        os.replace(tmp, path)
     print(json.dumps(result))

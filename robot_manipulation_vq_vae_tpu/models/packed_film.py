@@ -260,8 +260,17 @@ def unpack_film_resnet18_params(packed_variables, groups):
         return [jnp.concatenate([b, g], axis=-1)
                 for b, g in zip(betas, gammas)]
 
-    outs = [{"params": {"stem": {"conv1": {}, "bn1": {}}},
-             "batch_stats": {"stem": {"bn1": {}}}} for _ in range(groups)]
+    # params-only packed trees (s is None) must unpack to params-only
+    # per-camera trees: emitting empty batch_stats stubs would make
+    # `ResNet18ConvFiLM.apply` raise ScopeVariableNotFoundError on first
+    # use and would graft garbage stats through the layout converters.
+    outs = [
+        {"params": {"stem": {"conv1": {}, "bn1": {}}}}
+        for _ in range(groups)
+    ]
+    if s is not None:
+        for o in outs:
+            o["batch_stats"] = {"stem": {"bn1": {}}}
     for g, k in enumerate(split(p["stem_conv1"]["kernel"])):
         outs[g]["params"]["stem"]["conv1"]["kernel"] = k
     for name in ("scale", "bias"):
@@ -275,7 +284,8 @@ def unpack_film_resnet18_params(packed_variables, groups):
         blk = f"block{i}"
         for g in range(groups):
             outs[g]["params"][blk] = {}
-            outs[g]["batch_stats"][blk] = {}
+            if s is not None:
+                outs[g]["batch_stats"][blk] = {}
         for conv in ("conv1", "conv2", "down_conv"):
             if conv in p[blk]:
                 for g, k in enumerate(split(p[blk][conv]["kernel"])):
@@ -284,7 +294,8 @@ def unpack_film_resnet18_params(packed_variables, groups):
             if bn_name in p[blk]:
                 for g in range(groups):
                     outs[g]["params"][blk][bn_name] = {}
-                    outs[g]["batch_stats"][blk][bn_name] = {}
+                    if s is not None:
+                        outs[g]["batch_stats"][blk][bn_name] = {}
                 for name in ("scale", "bias"):
                     for g, v in enumerate(split(p[blk][bn_name][name])):
                         outs[g]["params"][blk][bn_name][name] = v
@@ -435,6 +446,9 @@ def convert_variables_packed_to_default(variables, packed_keys,
         cams = unpack_film_resnet18_params(packed, len(names))
         for n, cam in zip(names, cams):
             p_parent[n]["backbone"] = cam["params"]
-            if s_parent is not None:
+            # params-only packed trees unpack without batch_stats; writing
+            # empty stubs here would crash the first apply() of the
+            # restored per-camera cores (no 'mean'/'var' leaves).
+            if s_parent is not None and "batch_stats" in cam:
                 s_parent.setdefault(n, {})["backbone"] = cam["batch_stats"]
     return out

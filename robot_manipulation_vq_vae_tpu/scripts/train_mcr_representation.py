@@ -75,9 +75,13 @@ def build_parser():
     return p
 
 
-def _hdf5_buffer(path, args, seed):
-    """MCR batches sampled online from the framework's own robot-demo
-    HDF5 (SequenceDataset -> MCRHdf5Buffer bridge)."""
+def _hdf5_buffers(path, args, seeds):
+    """MCR batch iterators (one per seed) sampled online from the
+    framework's own robot-demo HDF5 (SequenceDataset -> MCRHdf5Buffer
+    bridge). ONE SequenceDataset is shared by all iterators: with
+    hdf5_cache_mode='all' the dataset caches every frame in host RAM, and
+    train/val differ only by sampling seed over the same data — building
+    the dataset per iterator would double peak memory on real demo files."""
     from robot_manipulation_vq_vae_tpu.data.dataset import SequenceDataset
     from robot_manipulation_vq_vae_tpu.data.mcr_adapter import MCRHdf5Buffer
 
@@ -97,11 +101,14 @@ def _hdf5_buffer(path, args, seed):
         load_next_obs=False,
         hdf5_cache_mode=None if args.cache_mode == "none" else args.cache_mode,
     )
-    return iter(MCRHdf5Buffer(
-        ds, views, batch_size=args.batch_size, alpha=args.alpha,
-        state_keys=state_keys, state_window=args.state_window,
-        use_action=args.use_action, seed=seed,
-    ))
+    return [
+        iter(MCRHdf5Buffer(
+            ds, views, batch_size=args.batch_size, alpha=args.alpha,
+            state_keys=state_keys, state_window=args.state_window,
+            use_action=args.use_action, seed=seed,
+        ))
+        for seed in seeds
+    ]
 
 
 def _npz_batches(path, batch_size, seed):
@@ -141,8 +148,9 @@ def run(args):
             state_dim=state_dim, seed=args.seed + 1,
         )
     elif args.dataset.endswith((".hdf5", ".h5")):
-        train_iter = _hdf5_buffer(args.dataset, args, args.seed)
-        val_iter = _hdf5_buffer(args.dataset, args, args.seed + 1)
+        train_iter, val_iter = _hdf5_buffers(
+            args.dataset, args, (args.seed, args.seed + 1)
+        )
     else:
         train_iter = _npz_batches(args.dataset, args.batch_size, args.seed)
         val_iter = _npz_batches(args.dataset, args.batch_size, args.seed + 1)

@@ -216,3 +216,28 @@ def test_params_only_pack_and_roundtrip(trunks_and_inputs):
     mixed = [params_only[0]] + [dict(v) for v in variables[1:]]
     with pytest.raises(ValueError, match="batch_stats"):
         pack_film_resnet18_params(mixed)
+
+
+def test_params_only_unpack_is_usable(trunks_and_inputs):
+    """Regression: unpacking a params-only packed tree must NOT emit empty
+    batch_stats stubs — a tree with a batch_stats collection whose leaves
+    are missing crashes `ResNet18ConvFiLM.apply` with
+    ScopeVariableNotFoundError on first use."""
+    from robot_manipulation_vq_vae_tpu.models.packed_film import (
+        unpack_film_resnet18_params,
+    )
+
+    models, variables, x_cams, lang = trunks_and_inputs
+    params_only = [{"params": v["params"]} for v in variables]
+    cams = unpack_film_resnet18_params(
+        pack_film_resnet18_params(params_only), G
+    )
+    for g in range(G):
+        assert "batch_stats" not in cams[g]
+        # usable as-is for a stats-initializing apply (fresh BN stats)
+        out, new_vars = models[g].apply(
+            cams[g], jnp.asarray(x_cams[g]), jnp.asarray(lang),
+            train=True, mutable=["batch_stats"],
+        )
+        assert np.all(np.isfinite(np.asarray(out)))
+        assert "batch_stats" in new_vars

@@ -33,8 +33,13 @@ LOG="$OUT/harvest.log"
 
 note() { echo "[harvest] $* $(date -u +%FT%TZ)" | tee -a "$LOG"; }
 
-probe() { # probe <timeout_s> — fresh python each attempt
-  timeout "${1:-90}" python -c "import jax; jax.devices()" >/dev/null 2>&1
+probe() { # probe <timeout_s> — fresh python each attempt. Requires a
+  # NON-CPU backend: if the axon plugin ever fails fast instead of hanging
+  # and jax falls back to CPU, declaring TPU_ALIVE here would run the full
+  # multi-hour harvest recording CPU numbers as on-chip results.
+  timeout "${1:-90}" python -c \
+    "import jax; assert jax.default_backend() != 'cpu'; jax.devices()" \
+    >/dev/null 2>&1
 }
 
 PROBE_EVERY=${PROBE_EVERY:-300}
