@@ -129,10 +129,11 @@ def main(batch_sizes=(1, 16), mixed_precision=False):
         # bench_tokenizer.py / bench_loader.py).
         path = os.environ.get("RMVQ_RESULT_FILE")
         if path:
-            tmp = path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(results, f)
-            os.replace(tmp, path)
+            from robot_manipulation_vq_vae_tpu.utils.file_utils import (
+                atomic_write_json,
+            )
+
+            atomic_write_json(path, results)
         print(json.dumps(result))
     return results
 

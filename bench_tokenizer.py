@@ -30,10 +30,11 @@ BATCH = 65536      # chunks per device step
 def _write_partial(result):
     path = os.environ.get("RMVQ_RESULT_FILE")
     if path:
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(result, f)
-        os.replace(tmp, path)  # atomic: harvester never sees a torn write
+        from robot_manipulation_vq_vae_tpu.utils.file_utils import (
+            atomic_write_json,
+        )
+
+        atomic_write_json(path, result)
 
 
 def main():

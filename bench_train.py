@@ -225,8 +225,9 @@ if __name__ == "__main__":
     # discards the fully measured flagship number
     path = os.environ.get("RMVQ_RESULT_FILE")
     if path:
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(result, f)
-        os.replace(tmp, path)
+        from robot_manipulation_vq_vae_tpu.utils.file_utils import (
+            atomic_write_json,
+        )
+
+        atomic_write_json(path, result)
     print(json.dumps(result))

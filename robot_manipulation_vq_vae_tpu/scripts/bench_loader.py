@@ -94,10 +94,11 @@ def bench(path, cache_mode, batch_size=64, seq_length=16, n_batches=30,
         results.append(entry)
         result_file = os.environ.get("RMVQ_RESULT_FILE")
         if result_file:
-            tmp = result_file + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(results, f)
-            os.replace(tmp, result_file)
+            from robot_manipulation_vq_vae_tpu.utils.file_utils import (
+                atomic_write_json,
+            )
+
+            atomic_write_json(result_file, results)
 
 
 if __name__ == "__main__":

@@ -151,6 +151,9 @@ if STEADY:
     print(json.dumps(result), flush=True)
     path = os.environ.get("RMVQ_RESULT_FILE")
     if path:
-        with open(path, "w") as f:
-            json.dump(result, f)
+        from robot_manipulation_vq_vae_tpu.utils.file_utils import (
+            atomic_write_json,
+        )
+
+        atomic_write_json(path, result)
 print("FLAGSHIP E2E OK:", ckpts[0], flush=True)

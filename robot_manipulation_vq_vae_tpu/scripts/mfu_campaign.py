@@ -42,13 +42,16 @@ V5E_BF16_PEAK_TFLOPS = 197.0
 
 
 def _append_result(path, name, result):
+    from robot_manipulation_vq_vae_tpu.utils.file_utils import (
+        atomic_write_json,
+    )
+
     data = {}
     if os.path.exists(path):
         with open(path) as f:
             data = json.load(f)
     data[name] = result
-    with open(path, "w") as f:
-        json.dump(data, f, indent=2)
+    atomic_write_json(path, data, indent=2)
     print(f"[{name}] {json.dumps(result)}")
 
 

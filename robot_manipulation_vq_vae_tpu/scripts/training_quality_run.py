@@ -92,7 +92,13 @@ def run(args):
             and last["q_dead"] <= max(8, first["q_dead"])
         ),
     }
+    import jax
+
     result = {
+        # provenance: a CPU-backend artifact is stability evidence, NOT
+        # the on-chip measurement (the steps_per_sec field is only a perf
+        # claim when backend is a TPU)
+        "backend": jax.default_backend(),
         "config": {
             "steps": args.steps, "every": args.every,
             "batch_size": args.batch_size, "bf16": args.bf16,
@@ -105,9 +111,12 @@ def run(args):
         "verdicts": verdicts,
         "stable": all(verdicts.values()),
     }
+    from robot_manipulation_vq_vae_tpu.utils.file_utils import (
+        atomic_write_json,
+    )
+
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(result, f, indent=2)
+    atomic_write_json(args.out, result, indent=2)
     print(json.dumps({k: v for k, v in result.items() if k != "rows"}),
           flush=True)
     if not result["stable"]:

@@ -97,6 +97,17 @@ def get_shape_metadata_from_dataset(dataset_path, action_keys,
     return shape_meta
 
 
+def atomic_write_json(path, obj, indent=None):
+    """JSON write via tmp + ``os.replace``: a concurrent reader (the bench
+    orchestrator harvesting ``RMVQ_RESULT_FILE`` incrementally) never sees
+    a torn file, and a deadline kill mid-dump cannot destroy the previous
+    complete result. Shared by every bench/harvest leg."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=indent)
+    os.replace(tmp, path)
+
+
 # ---------------------------------------------------------------------------
 # checkpoints
 # ---------------------------------------------------------------------------

@@ -137,7 +137,6 @@ def test_hvqvae_multi_step_sharded_trajectory_and_serving():
     semantics: EMA robomimic/algo/heirarchical_vqvae.py:498-588, serving
     robomimic/algo/algo.py:666-924. The rgb+FiLM variant of this check
     (plus the VQ-collection comparison) runs in dryrun_multichip."""
-    import jax
     import jax.numpy as jnp
 
     import __graft_entry__ as ge
@@ -182,16 +181,8 @@ def test_hvqvae_multi_step_sharded_trajectory_and_serving():
             algo_ref.state.opt_states[n])
            for n in sorted(algo_sh.state.opt_states)]
     ):
-        sh = jax.tree_util.tree_flatten_with_path(jax.device_get(sh_tree))
-        rf = jax.tree_util.tree_flatten_with_path(jax.device_get(ref_tree))
-        assert sh[1] == rf[1], f"{tag}: tree structure differs"
-        for (path, a), (_, b) in zip(sh[0], rf[0]):
-            np.testing.assert_allclose(
-                np.asarray(a, np.float32), np.asarray(b, np.float32),
-                atol=5e-4, rtol=1e-2,
-                err_msg=f"{tag}{jax.tree_util.keystr(path)} diverges after "
-                        f"4 sharded steps",
-            )
+        ge._assert_tree_close(tag, sh_tree, ref_tree, atol=5e-4, rtol=1e-2,
+                              context="after 4 sharded steps")
 
     # serving path under the mesh: both algos consumed identical RNG
     # streams (same seed, same step count), so sample keys match
