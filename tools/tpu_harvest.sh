@@ -82,6 +82,11 @@ run_leg steady  1800 env RMVQ_SMOKE_STEADY=1 \
                      python -m robot_manipulation_vq_vae_tpu.scripts.flagship_smoke
 run_leg quality 3600 python -m robot_manipulation_vq_vae_tpu.scripts.training_quality_run
 run_leg donate  900  env RMVQ_DONATE=1 RMVQ_BF16=1 python bench_train.py
+# batch-128 scaling probe: default-semantics lever (batch size is a user
+# knob); larger per-step batches amortize the stem's launch overhead and
+# may lift samples/s past the batch-64 number. An OOM here is a finding,
+# not a failure (the leg log records it).
+run_leg batch128 900 env RMVQ_BF16=1 RMVQ_BATCH=128 python bench_train.py
 
 if [ -n "$FAILED_LEGS" ]; then
   note "DONE WITH FAILURES:$FAILED_LEGS"
