@@ -28,8 +28,6 @@ adoption is gated on the on-chip measurement in
 ``scripts/mfu_campaign.py --exps pool_argmax``.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
