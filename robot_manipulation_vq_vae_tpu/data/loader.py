@@ -135,8 +135,22 @@ class DataLoader:
                     break
                 yield batch
         finally:
+            # Shut the producer DOWN, don't just signal it: an abandoned
+            # producer sits blocked in q.put (or mid h5py read) — and a
+            # thread inside an h5py call at interpreter exit deadlocks
+            # h5py's atexit close on the HDF5 global lock (observed: the
+            # full bench_loader sweep hung forever after printing all
+            # results). Drain the queue so q.put returns, let the
+            # producer observe `stop`, and join it (bounded by one
+            # in-flight fetch).
             stop.set()
-            pool.shutdown(wait=False)
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=60.0)
+            pool.shutdown(wait=True)
 
 
 class InfiniteLoader:

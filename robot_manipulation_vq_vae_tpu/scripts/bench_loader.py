@@ -66,26 +66,42 @@ def bench(path, cache_mode, batch_size=64, seq_length=16, n_batches=30,
         reuse_buffers=reuse_buffers,
     )
     it = iter(loader)
-    next(it)  # warmup (opens files, fills caches)
-    t0 = time.perf_counter()
-    n = 0
-    for _ in range(n_batches):
-        try:
-            batch = next(it)
-        except StopIteration:
-            it = iter(loader)
-            batch = next(it)
-        n += batch["actions"].shape[0]
-    dt = time.perf_counter() - t0
+    # Warm up EVERY buffer-ring slot, not just one batch: with
+    # reuse_buffers the ring holds prefetch+2 slots and each slot's first
+    # use pays the ~20x fresh-allocation page-fault cost — measuring that
+    # (plus file opens / cache fills) once reported 117 samples/s for a
+    # steady state of ~2000.
+    n_warm = len(loader._buffer_ring) if reuse_buffers else 1
+    for _ in range(n_warm):
+        next(it)
+
+    def one_pass():
+        nonlocal it
+        t0 = time.perf_counter()
+        n = 0
+        for _ in range(n_batches):
+            try:
+                batch = next(it)
+            except StopIteration:
+                it = iter(loader)
+                batch = next(it)
+            n += batch["actions"].shape[0]
+        return n / (time.perf_counter() - t0)
+
+    # median of 3 passes: this box has ONE cpu and background processes
+    # (e.g. a jax import) can steal a whole measurement window — observed
+    # 85-2193 samples/s rep-to-rep for identical configs. The median
+    # tolerates one stolen pass.
+    rate = sorted(one_pass() for _ in range(3))[1]
     bytes_per_sample = seq_length * 3 * 128 * 128 * 3
     entry = {
         "metric": "host_loader_throughput",
-        "value": round(n / dt, 1),
+        "value": round(rate, 1),
         "unit": (
             f"samples/sec (cache={cache_mode}, workers={num_workers}, "
-            f"reuse={reuse_buffers})"
+            f"reuse={reuse_buffers}, median_of_3)"
         ),
-        "gbytes_per_sec": round(n / dt * bytes_per_sample / 1e9, 2),
+        "gbytes_per_sec": round(rate * bytes_per_sample / 1e9, 2),
     }
     print(json.dumps(entry))
     if results is not None:
