@@ -139,6 +139,16 @@ def main(batch_sizes=(1, 16), mixed_precision=False):
 
 
 if __name__ == "__main__":
+    if os.environ.get("RMVQ_REQUIRE_TPU", "0") == "1":
+        # launched speculatively at t=0 (same contract as bench_train.py):
+        # bail out cheaply on CPU, rc=3 tells the parent "skipped, not
+        # failed". Package import FIRST so RMVQ_FORCE_CPU is honored.
+        import robot_manipulation_vq_vae_tpu  # noqa: F401
+        import jax
+
+        if jax.default_backend() == "cpu":
+            print(json.dumps({"skipped": "cpu backend"}))
+            raise SystemExit(3)
     batches = tuple(
         int(b) for b in os.environ.get("RMVQ_INFER_BATCHES", "1,16").split(",")
     )
