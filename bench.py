@@ -312,24 +312,48 @@ def _harvest_flagship(child, deadline):
 
 
 def _run_infer_leg(deadline):
-    """Serving leg: get_action latency at batch 1 and batch-16 throughput.
-    Spawned only AFTER the flagship result lands (see the module-docstring
-    compile-helper constraint). bench_infer.py flushes its result file
-    after EACH batch size, so a deadline kill still captures batch 1."""
+    """Serving leg: get_action latency at batch 1 and batch-16 throughput
+    (+ dp-sharded batch-16 and the fake-env rollout pipeline when budget
+    allows). Spawned only AFTER the flagship result lands (see the
+    module-docstring compile-helper constraint). bench_infer.py flushes its
+    result file after EACH measurement, so a deadline kill still captures
+    whatever landed."""
     child = _Child("bench_infer.py",
                    {"RMVQ_BF16": "1", "RMVQ_INFER_BATCHES": "1,16",
+                    "RMVQ_ROLLOUT_FPS": "1",
                     "RMVQ_REQUIRE_TPU": "1"}, "infer")
-    _wait_leg(child, deadline)
-    res = child.read_result()  # list of per-batch dicts
+    rc = _wait_leg(child, deadline)
+    res = child.read_result()  # list of per-measurement dicts
+    got_value = False
     if res:
         for entry in res:
-            if entry.get("batch") == 1:
+            if entry.get("metric") == "rollout_fps":
+                _merge({"rollout_actions_per_sec": entry["actions_per_sec"],
+                        "rollout_n_envs": entry["n_envs"]})
+                got_value = True
+            elif entry.get("sharded"):
+                _merge({"sharded_batch16_actions_per_sec":
+                        entry["actions_per_sec"],
+                        "sharded_n_devices": entry["n_devices"]})
+                got_value = True
+            elif entry.get("batch") == 1:
                 _merge({
                     "flagship_get_action_ms": entry["value"],
                     "flagship_get_action_compile_sec": entry["compile_sec"],
                 })
+                got_value = True
             elif entry.get("batch") == 16:
                 _merge({"batch16_actions_per_sec": entry["actions_per_sec"]})
+                got_value = True
+    # distinguish "attempted but failed/killed" from "never attempted":
+    # rc None = deadline kill, rc 3 = self-gated skip on CPU
+    if rc == 3:
+        _merge({"infer_skipped": "cpu backend"})
+    elif not got_value:
+        if rc is None:
+            _merge({"infer_error": "leg killed at its deadline"})
+        elif rc != 0:
+            _merge({"infer_error": f"rc={rc}: {child.stderr_tail()}"})
     child.cleanup()
 
 
@@ -422,20 +446,23 @@ def main():
 
     _run_tokenizer_leg(deadline - 15.0)
 
+    landed = False
     if flagship is not None:
         landed = _harvest_flagship(flagship, deadline - 10.0)
-        # opportunistic legs with whatever budget the flagship left over;
-        # the flagship number is never jeopardized (it already landed).
-        # Cold-cache runs can't fit the infer compile here — by design:
-        # see the module-docstring compile-helper constraint; on a warm
-        # cache this lands in well under a minute.
-        if landed and deadline - time.perf_counter() > 60.0:
-            _run_infer_leg(deadline - 10.0)
-    # host data-path leg: RMVQ_FORCE_CPU keeps it off the tunnel entirely,
-    # so it runs whenever budget remains — even if the flagship leg failed
-    # (by this point every backend-touching child has exited or been killed)
-    if deadline - time.perf_counter() > 60.0:
-        _run_loader_leg(deadline - 8.0)
+    # host data-path leg FIRST among the leftovers: RMVQ_FORCE_CPU keeps it
+    # off the tunnel entirely, its cost is bounded (~2 min) and predictable,
+    # and it must never again be starved by a cold infer compile (it missed
+    # BENCH_r04 exactly that way). Runs even if the flagship leg failed —
+    # by this point every backend-touching child has exited or been killed.
+    if deadline - time.perf_counter() > 45.0:
+        _run_loader_leg(min(deadline - 8.0, time.perf_counter() + 240.0))
+    # opportunistic serving leg with whatever budget remains; the flagship
+    # number is never jeopardized (it already landed). Cold-cache runs
+    # can't fit the infer compile here — by design: see the
+    # module-docstring compile-helper constraint; on a warm cache this
+    # lands in well under a minute.
+    if landed and deadline - time.perf_counter() > 60.0:
+        _run_infer_leg(deadline - 10.0)
     _emit()
 
 

@@ -16,7 +16,7 @@ import time
 def build_flagship(mixed_precision=False, batch_size=64,
                    frozen_batch_norm=False, pool_free_stem=False,
                    context_length=16, img_hw=128,
-                   packed_rgb_encoders=False):
+                   packed_rgb_encoders=False, pallas_pool=False):
     """Construct the flagship ICLTransformerHVQVAE algo at the reference's
     shipped scale plus a device-side synthetic batch maker. Shared by the
     throughput bench below and scripts/training_quality_run.py (which
@@ -86,6 +86,7 @@ def build_flagship(mixed_precision=False, batch_size=64,
         config.train.frozen_batch_norm = frozen_batch_norm
         config.train.pool_free_stem = pool_free_stem
         config.train.packed_rgb_encoders = packed_rgb_encoders
+        config.train.pallas_pool = pallas_pool
     config.lock()
     ObsUtils.initialize_obs_utils_with_config(config)
 
@@ -123,12 +124,12 @@ def build_flagship(mixed_precision=False, batch_size=64,
 
 def measure(mixed_precision=False, batch_size=64, n_long=11,
             frozen_batch_norm=False, pool_free_stem=False,
-            packed_rgb_encoders=False):
+            packed_rgb_encoders=False, pallas_pool=False):
     """Measure flagship train-step throughput; returns the result dict."""
     algo, make_batch = build_flagship(
         mixed_precision=mixed_precision, batch_size=batch_size,
         frozen_batch_norm=frozen_batch_norm, pool_free_stem=pool_free_stem,
-        packed_rgb_encoders=packed_rgb_encoders,
+        packed_rgb_encoders=packed_rgb_encoders, pallas_pool=pallas_pool,
     )
     B = batch_size
     batch = make_batch(0)
@@ -188,6 +189,9 @@ def measure(mixed_precision=False, batch_size=64, n_long=11,
         # identical-math layout mode (config.train.packed_rgb_encoders):
         # flagged for provenance, NOT a semantic divergence
         result["packed_rgb_encoders"] = True
+    if pallas_pool:
+        # semantics-preserving Pallas stem pool (config.train.pallas_pool)
+        result["pallas_pool"] = True
     if step_flops:
         result["tflops_per_sec"] = round(step_flops * steps_per_sec / 1e12, 1)
     return result
@@ -218,6 +222,7 @@ if __name__ == "__main__":
         frozen_batch_norm=os.environ.get("RMVQ_BN_FROZEN", "0") == "1",
         pool_free_stem=os.environ.get("RMVQ_POOL_FREE", "0") == "1",
         packed_rgb_encoders=os.environ.get("RMVQ_PACKED", "0") == "1",
+        pallas_pool=os.environ.get("RMVQ_PALLAS_POOL", "0") == "1",
     )
     # write to a result file as soon as measured (more robust than stdout
     # harvesting if the parent kills us between print and flush); tmp +

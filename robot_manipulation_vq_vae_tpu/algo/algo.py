@@ -104,6 +104,7 @@ class Algo:
         # (process-global — the last constructed algo wins).
         from robot_manipulation_vq_vae_tpu.models.base_nets import (
             set_frozen_batch_norm,
+            set_pallas_pool,
             set_pool_free_stem,
         )
 
@@ -112,6 +113,9 @@ class Algo:
         )
         set_pool_free_stem(
             bool(global_config.train.get("pool_free_stem", False))
+        )
+        set_pallas_pool(
+            bool(global_config.train.get("pallas_pool", False))
         )
         from robot_manipulation_vq_vae_tpu.models.obs_nets import (
             set_packed_rgb_encoders,

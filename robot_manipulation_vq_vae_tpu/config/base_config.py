@@ -165,6 +165,12 @@ class BaseConfig(Config, metaclass=ConfigMeta):
         # docs/design.md §4). DIVERGES from torchvision stem features —
         # off by default.
         self.train.pool_free_stem = False
+        # Opt-in Pallas stem-pool kernels (forward records the window
+        # argmax, backward is index-routed — ops/pallas/stem_pool.py).
+        # SEMANTICS-PRESERVING (bit-equal forward incl. torch tie routing)
+        # so a measured win may flip this default; adoption gated on the
+        # round-5 on-chip campaign (docs/mfu_campaign_r5.json).
+        self.train.pallas_pool = False
         # Opt-in speed mode: run all same-config per-camera FiLM-ResNet18
         # rgb encoders as ONE grouped-conv trunk (feature_group_count=G).
         # IDENTICAL math with separate weights (tests/test_packed_film.py

@@ -78,6 +78,23 @@ def set_pool_free_stem(enabled):
     _POOL_FREE_STEM = bool(enabled)
 
 
+# Opt-in Pallas stem pool (`config.train.pallas_pool`): the 3x3/s2 maxpool
+# as a Pallas kernel pair — forward records the window argmax, backward is
+# an index-routed gather (ops/pallas/stem_pool.py). SEMANTICS-PRESERVING
+# (forward bit-equal to nn.max_pool incl. torch tie routing; backward equal
+# up to summation order — tests/test_stem_pool_pallas.py), unlike the two
+# speed modes above; default set by the round-5 on-chip measurement
+# (docs/mfu_campaign_r5.json).
+_PALLAS_POOL = False
+
+
+def set_pallas_pool(enabled):
+    """Enable/disable the Pallas stem-pool kernels for subsequently TRACED
+    models (called from Algo construction off config.train.pallas_pool)."""
+    global _PALLAS_POOL
+    _PALLAS_POOL = bool(enabled)
+
+
 def transformer_args_from_config(transformer_config):
     """Map ``algo.transformer.*`` config keys to network kwargs, including the
     four tokenizer-modality flags (reference ``base_nets.py:41-70``)."""
@@ -185,6 +202,15 @@ class _ResNet18Stem(nn.Module):
             # grid (floor((H-1)/4)+1 — identical output shape), so the pool
             # and its 11.2 ms SelectAndScatter backward vanish entirely
             return x
+        if _PALLAS_POOL:
+            # semantics-preserving Pallas pair (recorded-argmax forward +
+            # index-routed backward); falls back to the exact XLA
+            # formulation off-TPU or at unsupported shapes
+            from robot_manipulation_vq_vae_tpu.ops.pallas.stem_pool import (
+                max_pool_3x3_s2,
+            )
+
+            return max_pool_3x3_s2(x)
         # nn.max_pool's SelectAndScatter backward is the single most
         # expensive non-conv op in the trunk (11.2 ms at flagship shapes),
         # but it SURVIVED a five-formulation replacement campaign — every

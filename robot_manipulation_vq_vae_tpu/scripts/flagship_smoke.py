@@ -12,16 +12,25 @@ Two modes:
   with a warm compile cache).
 * ``RMVQ_SMOKE_STEADY=1``: 2 epochs x 30 steps. Epoch 1 absorbs the XLA
   compile; epoch 2 is MEASURED steady state with the real disk-backed
-  loader feeding the chip, printed as ``flagship_e2e_steps_per_sec`` —
-  one number proving the host path sustains the device step rate
-  (reference hot loop robomimic/utils/train_utils.py:1238-1328), instead
-  of inferring it from bench_train + bench_loader separately. Set
-  ``RMVQ_EXPECT_STEPS_PER_SEC`` to also assert within 12% of
-  bench_train's device-synthesized number.
+  loader feeding the chip, printed as ``flagship_e2e_steps_per_sec``
+  together with ALL FOUR run_epoch timing buckets (Data_Loading /
+  Process_Batch / Train_Batch / Log_Info — reference hot loop
+  robomimic/utils/train_utils.py:1238-1328) AND the DevicePrefetcher
+  worker's decomposition (host load / host process / host->device
+  transfer seconds + measured MB/s). Set ``RMVQ_EXPECT_STEPS_PER_SEC``
+  to also assert within 12% of bench_train's device-synthesized number —
+  only meaningful on non-tunneled hardware, see below.
 
-Last validated on a v5e chip: finite losses, ckpt written, 239 s wall
-(dominated by the one-off XLA compile; steady-state steps match
-bench_train's 8.2 steps/s).
+MEASUREMENT CAVEAT (round-4 lesson, recorded in docs/harvest_r4/
+steady.log): over the axon tunnel the host->device link moves a ~150 MB
+uint8 flagship batch at ~25-30 MB/s, so even with the transfer fully
+overlapped (data/prefetch.DevicePrefetcher, wired in scripts/train.py)
+the steady state is TRANSFER-bound at ~0.2 steps/s — 40x below
+bench_train's 8.3 steps/s device-side number. The printed decomposition
+exists precisely to make that attribution explicit: on real (non-
+tunneled) TPU hosts the same transfer runs at multi-GB/s and the
+pipeline is compute-bound. Do not assert RMVQ_EXPECT_STEPS_PER_SEC over
+the tunnel.
 
 Usage: python -m robot_manipulation_vq_vae_tpu.scripts.flagship_smoke
 """
@@ -135,8 +144,25 @@ if STEADY:
         "metric": "flagship_e2e_steps_per_sec",
         "value": round(e2e_steps_per_sec, 3),
         "steps": STEPS_PER_EPOCH,
+        # ALL FOUR buckets (minutes over the epoch). With the
+        # DevicePrefetcher wired in: Data_Loading = stall waiting for a
+        # device-ready batch (the transfer-bound residual shows up HERE),
+        # Process_Batch ~ 0 (runs on the prefetch worker), Train_Batch =
+        # blocked-on device step, Log_Info = metric fetch.
         "time_data_loading_min": round(last.get("Time_Data_Loading", 0.0), 4),
+        "time_process_batch_min": round(
+            last.get("Time_Process_Batch", 0.0), 4),
         "time_train_batch_min": round(last.get("Time_Train_Batch", 0.0), 4),
+        "time_log_info_min": round(last.get("Time_Log_Info", 0.0), 4),
+        # prefetch-worker decomposition (concurrent with the above):
+        # measured host->device bandwidth pins transfer-bound steady states
+        # on the link, not the framework
+        "prefetch_host_load_s": last.get("prefetch/host_load_s"),
+        "prefetch_host_process_s": last.get("prefetch/host_process_s"),
+        "prefetch_transfer_s": last.get("prefetch/transfer_s"),
+        "prefetch_transfer_mbytes": last.get("prefetch/transfer_mbytes"),
+        "prefetch_transfer_mbytes_per_sec": last.get(
+            "prefetch/transfer_mbytes_per_sec"),
         "epoch1_time_min_incl_compile": round(history[0]["Time_Epoch"], 3),
     }
     expect = os.environ.get("RMVQ_EXPECT_STEPS_PER_SEC")

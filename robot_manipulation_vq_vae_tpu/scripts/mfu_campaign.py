@@ -647,6 +647,78 @@ def exp_pool_argmax(args):
     return result
 
 
+def exp_pallas_pool(args):
+    """Round-5 FINAL stem attempt (VERDICT r4 #4): the 3x3/s2 maxpool as a
+    Pallas kernel pair (ops/pallas/stem_pool.py) — recorded-argmax forward
+    + index-routed backward, lane-packed layout with no strided vector
+    ops. Times fwd+bwd of ReLU+pool at the flagship stem-activation shape
+    against XLA's SelectAndScatter gradient (same harness as
+    exp_pool_argmax, so the three formulations are directly comparable).
+    Exactness proven in tests/test_stem_pool_pallas.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from robot_manipulation_vq_vae_tpu.ops.pallas.stem_pool import (
+        max_pool_3x3_s2_pallas,
+    )
+    from robot_manipulation_vq_vae_tpu.ops.pool_argmax import (
+        reference_maxpool,
+    )
+
+    N, H, C = args.stage_frames, 58, 64
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(N, H, H, C).astype(np.float32), jnp.bfloat16)
+
+    def make_loss(pool):
+        def loss(x):
+            out = pool(jax.nn.relu(x))
+            return jnp.sum(out.astype(jnp.float32))
+        return loss
+
+    def time_fwd_bwd(pool):
+        grad_fn = jax.grad(make_loss(pool))
+
+        @functools.partial(jax.jit, static_argnames="n")
+        def chain(x, n):
+            def body(_, x):
+                g = grad_fn(x)
+                return x + jnp.bfloat16(1e-6) * g
+
+            out = jax.lax.fori_loop(0, n, body, x)
+            return jnp.sum(out.astype(jnp.float32))
+
+        n_s, n_l = 1, args.stage_n_long
+        float(chain(x, n_s))
+        float(chain(x, n_l))
+        t0 = time.perf_counter()
+        float(chain(x, n_s))
+        ts = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(chain(x, n_l))
+        tl = time.perf_counter() - t0
+        return (tl - ts) / (n_l - n_s) * 1e3
+
+    sas_ms = time_fwd_bwd(reference_maxpool)
+    pallas_ms = time_fwd_bwd(lambda y: max_pool_3x3_s2_pallas(y, False))
+    return {
+        "frames": N, "activation": [N, H, H, C],
+        "select_and_scatter_ms": round(sas_ms, 2),
+        "pallas_pair_ms": round(pallas_ms, 2),
+        "speedup": round(sas_ms / pallas_ms, 3) if pallas_ms else None,
+    }
+
+
+def exp_pallas_pool_step(args):
+    """config.train.pallas_pool measured in the FULL flagship step — the
+    adoption-decision number (>= 5% on `value` flips the default)."""
+    import bench_train
+
+    return bench_train.measure(
+        mixed_precision=True, batch_size=64, n_long=args.n_long,
+        pallas_pool=True,
+    )
+
+
 def exp_packed_step(args):
     """The packed-rgb-encoder mode measured in the FULL flagship step
     (config.train.packed_rgb_encoders — identical math, one grouped-conv
@@ -796,6 +868,8 @@ EXPERIMENTS = {
     "packed_trunk": exp_packed_trunk,
     "packed_step": exp_packed_step,
     "pool_argmax": exp_pool_argmax,
+    "pallas_pool": exp_pallas_pool,
+    "pallas_pool_step": exp_pallas_pool_step,
 }
 
 

@@ -209,8 +209,9 @@ def train(config, eval_only=False, auto_resume=False):
         num_workers=min(int(config.train.num_data_workers) or 1, 16),
         drop_last=True,
         seed=config.train.seed,
-        # safe here: run_epoch device_puts each batch (jnp.asarray copies)
-        # before the ring wraps
+        # safe here: the DevicePrefetcher worker blocks until each batch's
+        # host->device transfer completes before drawing the next, so ring
+        # buffers are never recycled under an in-flight DMA
         reuse_buffers=True,
     )
     # context loader for ICL rollouts (reference train.py:217-224: batch=1)
@@ -238,7 +239,25 @@ def train(config, eval_only=False, auto_resume=False):
 
     train_num_steps = config.experiment.epoch_every_n_steps
     valid_num_steps = config.experiment.validation_epoch_every_n_steps
-    train_iter = iter(train_loader)
+    # ONE device-prefetch pipeline for the whole run: the worker thread
+    # fetches + processes + device_puts batches while the device steps, so
+    # host->device transfer overlaps compute (the TPU analogue of the
+    # reference's 48 DataLoader workers + pinned-memory copies). Batches
+    # flow strictly in loader order and are never dropped, so the sample
+    # stream is identical to the synchronous path (exact-resume safe).
+    train_iter = None
+    if not eval_only:
+        from robot_manipulation_vq_vae_tpu.data.prefetch import (
+            DevicePrefetcher,
+        )
+
+        train_iter = DevicePrefetcher(
+            train_loader,
+            prepare=TrainUtils.make_batch_preparer(
+                model, obs_normalization_stats
+            ),
+            depth=2,
+        )
 
     for epoch in range(start_epoch, config.train.num_epochs + 1):
         # eval-while-training mode: a *directory* ckpt_path makes the loop
@@ -449,6 +468,8 @@ def train(config, eval_only=False, auto_resume=False):
         if eval_only:
             break
 
+    if train_iter is not None:
+        train_iter.close()
     data_logger.close()
     return epoch_history
 

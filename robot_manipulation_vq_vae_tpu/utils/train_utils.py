@@ -144,10 +144,38 @@ def batchify_obs(obs_list):
     return {k: np.stack([obs[k] for obs in obs_list]) for k in keys}
 
 
+def make_batch_preparer(model, obs_normalization_stats=None):
+    """The host-side per-batch work as one callable (for DevicePrefetcher's
+    worker thread): per-algo slicing + obs normalization. Pure numpy, so
+    safe off the main thread."""
+
+    def prepare(batch):
+        input_batch = model.process_batch_for_training(batch)
+        return model.postprocess_batch_for_training(
+            input_batch, obs_normalization_stats=obs_normalization_stats
+        )
+
+    return prepare
+
+
 def run_epoch(model, data_loader, epoch, validate=False, num_steps=None,
               obs_normalization_stats=None, data_loader_iter=None):
     """One epoch of gradient steps with the reference's timing buckets
-    (reference train_utils.py:1238-1335)."""
+    (reference train_utils.py:1238-1335).
+
+    ``data_loader_iter`` may be a ``data.prefetch.DevicePrefetcher`` (the
+    production path, wired in ``scripts/train.py``): host batch fetch,
+    per-algo processing, and the host->device transfer then all run on a
+    background thread, overlapping the device step — the reference overlaps
+    the same way with DataLoader workers + pinned-memory copies. In that
+    mode ``Data_Loading`` measures pipeline stall (waiting for a
+    device-ready batch), ``Process_Batch`` is ~0 (the work happens in the
+    worker and is reported separately via ``prefetch/*`` keys), and
+    ``Train_Batch`` measures the device step (blocked on explicitly for
+    honest attribution, since dispatch alone returns immediately).
+    """
+    from robot_manipulation_vq_vae_tpu.data.prefetch import DevicePrefetcher
+
     epoch_timestamp = time.time()
     if validate:
         model.set_eval()
@@ -161,27 +189,51 @@ def run_epoch(model, data_loader, epoch, validate=False, num_steps=None,
         Data_Loading=[], Process_Batch=[], Train_Batch=[], Log_Info=[]
     )
 
-    iterator = data_loader_iter if data_loader_iter is not None else iter(
-        data_loader
+    prefetcher = (
+        data_loader_iter
+        if isinstance(data_loader_iter, DevicePrefetcher) else None
     )
+    if prefetcher is not None:
+        prefetcher.reset_stats()
+        iterator = None
+    else:
+        iterator = (
+            data_loader_iter if data_loader_iter is not None
+            else iter(data_loader)
+        )
     for _ in LogUtils.custom_tqdm(range(num_steps)):
         t = time.time()
-        try:
-            batch = next(iterator)
-        except StopIteration:
-            iterator = iter(data_loader)
-            batch = next(iterator)
-        timing_stats["Data_Loading"].append(time.time() - t)
+        if prefetcher is not None:
+            input_batch = prefetcher.get()
+            timing_stats["Data_Loading"].append(time.time() - t)
+            timing_stats["Process_Batch"].append(0.0)
+        else:
+            try:
+                batch = next(iterator)
+            except StopIteration:
+                iterator = iter(data_loader)
+                batch = next(iterator)
+            timing_stats["Data_Loading"].append(time.time() - t)
 
-        t = time.time()
-        input_batch = model.process_batch_for_training(batch)
-        input_batch = model.postprocess_batch_for_training(
-            input_batch, obs_normalization_stats=obs_normalization_stats
-        )
-        timing_stats["Process_Batch"].append(time.time() - t)
+            t = time.time()
+            input_batch = model.process_batch_for_training(batch)
+            input_batch = model.postprocess_batch_for_training(
+                input_batch, obs_normalization_stats=obs_normalization_stats
+            )
+            timing_stats["Process_Batch"].append(time.time() - t)
 
         t = time.time()
         info = model.train_on_batch(input_batch, epoch, validate=validate)
+        if prefetcher is not None:
+            # under async dispatch train_on_batch returns at enqueue time;
+            # block here so Train_Batch honestly carries the device step
+            # (the prefetch worker keeps transferring concurrently)
+            try:
+                import jax
+
+                jax.block_until_ready(info)
+            except Exception:
+                pass
         timing_stats["Train_Batch"].append(time.time() - t)
 
         t = time.time()
@@ -196,6 +248,11 @@ def run_epoch(model, data_loader, epoch, validate=False, num_steps=None,
     for k, v in timing_stats.items():
         out[f"Time_{k}"] = float(np.sum(v) / 60.0)
     out["Time_Epoch"] = (time.time() - epoch_timestamp) / 60.0
+    if prefetcher is not None:
+        # worker-side decomposition (concurrent with the buckets above):
+        # where host time actually went, incl. measured transfer MB/s
+        for k, v in prefetcher.transfer_summary().items():
+            out[f"prefetch/{k}"] = v
     return out
 
 

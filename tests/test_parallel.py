@@ -202,3 +202,104 @@ def test_hvqvae_multi_step_sharded_trajectory_and_serving():
         act_sh, act_ref, atol=1e-3, rtol=1e-3,
         err_msg="sharded get_action diverges from unsharded serving",
     )
+
+
+@pytest.mark.slow
+def test_dead_code_replacement_fires_under_dp_sharding():
+    """Dead-code replacement (reference heirarchical_vqvae.py:543-588) must
+    actually FIRE and still produce sharded==unsharded VQ state. The
+    replacement draws random *batch samples* (`ops/quantize.py
+    replace_dead_codes`: randint picks into the dp-sharded flat-embedding
+    array) — exactly where per-shard RNG or batch-visibility divergence
+    would break equality, and a path the trajectory tests only graze.
+
+    Recipe: step 0 on a diverse batch (kmeans init covers all 32 z-codes),
+    step 1 on a CLUSTERED batch (4 prototypes): ~28 codes get zero
+    assignments, their EMA mass decays 0.8 < threshold 1.0, and replacement
+    rewrites them with batch-sampled rows. We assert (a) many codebook rows
+    JUMPED (replacement demonstrably fired, not just EMA drift) and (b) the
+    full vq collection matches the unsharded run."""
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+
+    config = ge._tiny_config()
+    batch_init = ge._make_batch(b=8, seed=0)
+    batch_clustered = ge._make_batch(b=8, seed=1, clustered=True)
+
+    def to_jax(algo, b):
+        pb = algo.process_batch_for_training(b)
+        return {
+            "obs": {k: jnp.asarray(v) for k, v in pb["obs"].items()},
+            "actions": jnp.asarray(pb["actions"]),
+        }
+
+    # ---- unsharded reference trajectory ----
+    algo_ref = ge._make_algo(config)
+    jb0 = to_jax(algo_ref, batch_init)
+    jb1 = to_jax(algo_ref, batch_clustered)
+    algo_ref.train_on_batch(jb0, epoch=0)
+    cb_before = np.asarray(
+        jax.device_get(algo_ref.state.aux["vqvae"]["vq"]["codebook_z"])
+    )
+    algo_ref.train_on_batch(jb1, epoch=0)
+    vq_ref = jax.device_get(algo_ref.state.aux["vqvae"]["vq"])
+    cb_after = np.asarray(vq_ref["codebook_z"])
+
+    # (a) replacement fired: EMA alone moves a (cosine-normalized) code row
+    # by <= (1-decay) toward its assigned samples; a replacement REWRITES
+    # the row with a batch sample — an O(1) jump on the unit sphere
+    row_jump = np.linalg.norm(cb_after - cb_before, axis=1)
+    n_jumped = int(np.sum(row_jump > 0.5))
+    assert n_jumped >= 8, (
+        f"dead-code replacement did not demonstrably fire: only {n_jumped} "
+        f"codebook_z rows jumped (max jump {row_jump.max():.3f}) — the "
+        f"clustered batch should starve and replace >= 8 of 32 codes"
+    )
+
+    # ---- identical trajectory, dp-sharded ----
+    algo_sh = ge._make_algo(config)
+    algo_sh.ensure_state(jb0)
+    mesh = make_mesh(n_devices=8, mp=1)
+    with mesh:
+        algo_sh.state = shard_state(mesh, algo_sh.state)
+        algo_sh.train_on_batch(shard_batch(mesh, jb0), epoch=0)
+        algo_sh.train_on_batch(shard_batch(mesh, jb1), epoch=0)
+    vq_sh = jax.device_get(algo_sh.state.aux["vqvae"]["vq"])
+
+    # (b) sharded == unsharded across the whole vq collection. Replacement
+    # picks are identical by construction (replicated rng + global batch
+    # under GSPMD); near-Voronoi assignment flips from fp32 reduction-order
+    # noise may still diverge the odd row, so codebooks compare per-row
+    # with a small casualty budget (same discipline as dryrun_multichip).
+    assert set(vq_sh) == set(vq_ref)
+    for key in sorted(vq_sh):
+        a = np.asarray(vq_sh[key], np.float32)
+        b = np.asarray(vq_ref[key], np.float32)
+        if key == "initialized":
+            np.testing.assert_array_equal(a, b)
+        elif key.startswith(("codebook", "embed_avg")):
+            rows_a = a.reshape(a.shape[0], -1)
+            rows_b = b.reshape(b.shape[0], -1)
+            row_ok = np.all(
+                np.abs(rows_a - rows_b) <= 6e-2 + 3e-2 * np.abs(rows_b),
+                axis=1,
+            )
+            n_div = int(np.sum(~row_ok))
+            assert n_div <= 3, (
+                f"vq '{key}': {n_div}/{len(row_ok)} rows diverge sharded-vs-"
+                f"unsharded through a replacement-heavy step (random-sample "
+                f"draw divergence under dp-sharding)"
+            )
+        else:
+            np.testing.assert_allclose(
+                a, b, rtol=3e-2, atol=6e-2,
+                err_msg=f"vq '{key}' diverges sharded-vs-unsharded through "
+                        f"a replacement-heavy step",
+            )
+            if key.startswith("cluster_size"):
+                np.testing.assert_allclose(
+                    float(a.sum()), float(b.sum()), rtol=2e-3,
+                    err_msg=f"total EMA mass of '{key}' not conserved under "
+                            f"dp-sharded dead-code replacement",
+                )

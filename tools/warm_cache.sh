@@ -16,7 +16,7 @@
 # Usage: tools/warm_cache.sh   (safe to re-run; warm legs are ~free)
 
 set -u
-cd "${REPO_ROOT:-$(dirname "$0")/..}"
+cd "${REPO_ROOT:-$(dirname "$0")/..}" || exit 1
 
 echo "[warm] tokenizer leg SOLO first (inside bench.py it is capped at"
 echo "       300 s/attempt while the flagship child compiles concurrently —"
