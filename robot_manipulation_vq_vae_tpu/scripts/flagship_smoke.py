@@ -21,16 +21,18 @@ Two modes:
   to also assert within 12% of bench_train's device-synthesized number —
   only meaningful on non-tunneled hardware, see below.
 
-MEASUREMENT CAVEAT (round-4 lesson, recorded in docs/harvest_r4/
-steady.log): over the axon tunnel the host->device link moves a ~150 MB
-uint8 flagship batch at ~25-30 MB/s, so even with the transfer fully
-overlapped (data/prefetch.DevicePrefetcher, wired in scripts/train.py)
-the steady state is TRANSFER-bound at ~0.2 steps/s — 40x below
-bench_train's 8.3 steps/s device-side number. The printed decomposition
-exists precisely to make that attribution explicit: on real (non-
-tunneled) TPU hosts the same transfer runs at multi-GB/s and the
-pipeline is compute-bound. Do not assert RMVQ_EXPECT_STEPS_PER_SEC over
-the tunnel.
+MEASUREMENT CAVEAT (round-4 lesson; round-5 measurement in
+docs/harvest_r5/steady.log): over the axon tunnel the host->device link
+moves the ~154 MB uint8 flagship batches at a MEASURED 33.3 MB/s, so
+even with the transfer fully overlapped (data/prefetch.DevicePrefetcher,
+wired in scripts/train.py) the steady state is TRANSFER-bound: measured
+0.203 steps/s = 94% of the link's 0.216 steps/s ceiling (the
+unoverlapped round-4 loop reached 77% of it, docs/harvest_r4/
+steady.log). The printed decomposition exists precisely to make that
+attribution explicit: on real (non-tunneled) TPU hosts the same
+transfer runs at multi-GB/s and the pipeline is compute-bound at
+bench_train's 8.2-8.3 steps/s. Do not assert RMVQ_EXPECT_STEPS_PER_SEC
+over the tunnel.
 
 Usage: python -m robot_manipulation_vq_vae_tpu.scripts.flagship_smoke
 """
