@@ -269,7 +269,8 @@ def main(batch_sizes=(1, 16), mixed_precision=False, img_hw=None,
         h_env, img_env = H, IMG
         venv = SubprocVectorEnv(
             [(lambda s=s: FlagshipWindowFakeEnv(seed=s, h=h_env, img=img_env))
-             for s in range(n_envs)]
+             for s in range(n_envs)],
+            shared_obs=os.environ.get("RMVQ_ROLLOUT_SHM", "1") == "1",
         )
         try:
             policy = ICLRolloutPolicy(algo)
@@ -296,6 +297,7 @@ def main(batch_sizes=(1, 16), mixed_precision=False, img_hw=None,
             "env_steps_per_sec": round(horizon / dt, 2),
             "n_envs": n_envs,
             "horizon": horizon,
+            "shared_obs": venv._shared_obs,
             "mixed_precision": bool(mixed_precision),
         }
         results.append(result)

@@ -57,7 +57,7 @@ _NEG = -3.0e38  # finite -inf stand-in (safe in f32; never selected)
 # forward: fused max + first-max argmax recording
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(x_ref, out_ref, idx_ref, *, c):
+def _fwd_kernel(x_ref, out_ref, idx_ref, *, c, interpret):
     """x_ref [F, H, W/2, 2C] lane-packed; out/idx [F, H/2, W/2, C]."""
     x = x_ref[:].astype(jnp.float32)
     f, h, wp, l2 = x.shape
@@ -73,11 +73,19 @@ def _fwd_kernel(x_ref, out_ref, idx_ref, *, c):
     r_mid = xe                                           # rows 2oi   (di=1)
     r_bot = xo                                           # rows 2oi+1 (di=2)
 
+    # Mosaic layout discipline: a bare half-lane slice row[..., c:] yields
+    # a value at lane OFFSET c, and mixing offsets across sublane concats
+    # is unimplemented ("result/input offset mismatch on non-concat
+    # dimension"); rotate the lanes first so BOTH halves live at offset 0.
+    roll = jnp.roll if interpret else pltpu.roll
+
     def cols(row):
         """Column candidates of one window row: (dj=0, dj=1, dj=2)."""
-        even = row[..., :c]              # col 2oj      (dj=1)
-        odd = row[..., c:]               # col 2oj+1    (dj=2)
-        negc = jnp.full(odd[:, :, :1].shape, _NEG, jnp.float32)
+        even = row[..., :c]              # col 2oj      (dj=1), offset 0
+        # lanes have period 2c, so roll(+c) == roll(-c): the odd half
+        # lands at lane 0 (pltpu.roll requires non-negative shifts)
+        odd = roll(row, shift=c, axis=3)[..., :c]    # col 2oj+1, offset 0
+        negc = jnp.full((f, ho, 1, c), _NEG, jnp.float32)
         prev_odd = jnp.concatenate([negc, odd[:, :, :-1]], axis=2)  # 2oj-1
         return prev_odd, even, odd
 
@@ -156,7 +164,7 @@ def pool_fwd_pallas(y, interpret=False):
     grid = (n // f,)
 
     out, idx = pl.pallas_call(
-        functools.partial(_fwd_kernel, c=c),
+        functools.partial(_fwd_kernel, c=c, interpret=interpret),
         grid=grid,
         in_specs=[
             pl.BlockSpec((f, h, wp, 2 * c), lambda i: (i, 0, 0, 0)),

@@ -116,8 +116,11 @@ def train(config, eval_only=False, auto_resume=False):
                     n_batch = int(
                         config.experiment.rollout.get("num_batch_envs", 5)
                     )
+                    # shared_obs: workers write observations into one
+                    # shm-backed batch array instead of pickling ~MBs of
+                    # images through pipes every lockstep (vector_env.py)
                     envs[env_meta["env_name"]] = SubprocVectorEnv(
-                        [make_env] * n_batch
+                        [make_env] * n_batch, shared_obs=True
                     )
                 else:
                     env = make_env()

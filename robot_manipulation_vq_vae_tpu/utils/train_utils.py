@@ -277,7 +277,13 @@ def run_batched_rollout(policy, venv, horizon, context_batch=None,
     over tianshou's SubprocVectorEnv). Returns one result dict per env."""
     langs = venv.get_env_attr("env_lang")
     policy.start_episode(lang=langs[0] if langs else None)
-    ob_list = venv.reset()
+    # prefer the pool's batched-dict API: with shared_obs the obs batch is
+    # the shm-backed array itself (no per-env pickling, no parent re-stack)
+    use_batched_api = hasattr(venv, "step_batched")
+    if use_batched_api:
+        ob_batch = venv.reset_batched()
+    else:
+        ob_list = venv.reset()
     n = len(venv)
 
     returns = np.zeros(n)
@@ -286,13 +292,17 @@ def run_batched_rollout(policy, venv, horizon, context_batch=None,
     active = np.ones(n, bool)
     t0 = time.time()
     for step_i in range(horizon):
-        ob_batch = batchify_obs(ob_list)
+        if not use_batched_api:
+            ob_batch = batchify_obs(ob_list)
         if context_batch is not None:
             acs = policy(ob=ob_batch, context_batch=context_batch,
                          batched=True)
         else:
             acs = policy(ob=ob_batch, batched=True)
-        ob_list, rews, dones, _ = venv.step(np.asarray(acs))
+        if use_batched_api:
+            ob_batch, rews, dones, _ = venv.step_batched(np.asarray(acs))
+        else:
+            ob_list, rews, dones, _ = venv.step(np.asarray(acs))
         returns += np.asarray(rews) * active
         succ_now = np.asarray([s["task"] for s in venv.is_success()])
         success |= active & succ_now

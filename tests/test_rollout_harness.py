@@ -233,3 +233,67 @@ def test_batched_rollout_with_stats():
     )
     assert logs["FakeEnv"]["Success_Rate"] == 1.0
     venv.close()
+
+
+def test_shared_obs_transport_equivalence():
+    """shared_obs=True: workers write observations into one shm-backed
+    batch array instead of pickling them through pipes. Obs values, rollout
+    results, and policy-call counts must be identical to the pipe path."""
+    from robot_manipulation_vq_vae_tpu.algo.algo import ICLRolloutPolicy
+    from robot_manipulation_vq_vae_tpu.utils import obs_utils as ObsUtils
+    from robot_manipulation_vq_vae_tpu.utils import train_utils as TrainUtils
+
+    ObsUtils.initialize_obs_utils_with_obs_specs(
+        {"obs": {"low_dim": list(OBS_KEYS)}}
+    )
+
+    def make():
+        return FrameStackWrapper(FakeEnv(), num_frames=4)
+
+    # raw transport equality: same deterministic env, both transports
+    v_pipe = SubprocVectorEnv([make] * 3)
+    v_shm = SubprocVectorEnv([make] * 3, shared_obs=True)
+    ob_p = v_pipe.reset_batched()
+    ob_s = v_shm.reset_batched()
+    assert set(ob_p) == set(ob_s)
+    for k in ob_p:
+        np.testing.assert_array_equal(np.asarray(ob_p[k]), np.asarray(ob_s[k]))
+    actions = np.full((3, A), 0.5, np.float32)
+    for _ in range(3):
+        ob_p, r_p, d_p, _ = v_pipe.step_batched(actions)
+        ob_s, r_s, d_s, _ = v_shm.step_batched(actions)
+        np.testing.assert_array_equal(r_p, r_s)
+        for k in ob_p:
+            np.testing.assert_array_equal(
+                np.asarray(ob_p[k]), np.asarray(ob_s[k])
+            )
+    # per-env view API stays available under shm too
+    obs_list = v_shm.step(actions)[0]
+    assert len(obs_list) == 3
+    v_pipe.close()
+    v_shm.close()
+
+    # full rollout through the shm pool (same stats wiring as the pipe-path
+    # test above: rot_6d conversion maps the 10-dim policy output to A=7)
+    algo = FakePolicy()
+    stats = {
+        "action_dict/rel_pos": {"scale": np.ones((1, 3), np.float32),
+                                "offset": np.zeros((1, 3), np.float32)},
+        "action_dict/rel_rot_6d": {"scale": np.ones((1, 6), np.float32),
+                                   "offset": np.zeros((1, 6), np.float32)},
+        "action_dict/gripper": {"scale": np.ones((1, 1), np.float32),
+                                "offset": np.zeros((1, 1), np.float32)},
+    }
+    policy = ICLRolloutPolicy(algo, action_normalization_stats=stats)
+    venv = SubprocVectorEnv([make] * 3, shared_obs=True)
+    ctx = {"actions": np.zeros((1, 4, 10), np.float32)}
+    infos = TrainUtils.run_batched_rollout(
+        policy=policy, venv=venv, horizon=8, context_batch=ctx,
+        terminate_on_success=True,
+    )
+    venv.close()
+    assert len(infos) == 3
+    for info in infos:
+        assert info["Success_Rate"] == 1.0
+        assert info["Horizon"] == 5
+    assert algo.calls == 5
